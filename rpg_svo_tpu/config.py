@@ -1,0 +1,109 @@
+"""Pipeline configuration.
+
+TPU-native replacement for the reference's global ``Config`` singleton
+(``svo/include/svo/config.h:31-155``, ``svo/src/config.cpp:24-92``): a frozen
+dataclass passed explicitly through the pipeline instead of mutable global
+state.  Parameter names and defaults mirror the reference so its tuning
+knowledge (and the paper's fast/accurate presets, Table I) carry over.
+
+Because state is arrays with static shapes on TPU, this config also carries
+the static capacities (max features per frame, max seeds, max keyframes,
+max points) that replace the reference's dynamically-sized lists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- tracing ---
+    trace_name: str = "svo"
+    trace_dir: str = "/tmp"
+
+    # --- pyramid / detection ---
+    n_pyr_levels: int = 5           # pyramid levels built per frame (ref builds
+                                    # max(n_pyr_levels, klt_max_level+1)=5)
+    grid_size: int = 25             # detector/reprojector cell size in px
+    triang_min_corner_score: float = 20.0  # min Shi-Tomasi score for a new seed
+
+    # --- sparse image alignment ---
+    klt_max_level: int = 4          # coarsest pyramid level for image alignment
+    klt_min_level: int = 2          # finest pyramid level for image alignment
+    img_align_n_iter: int = 30      # GN iterations per level
+    img_align_eps: float = 1e-7     # convergence threshold on |dx|
+
+    # --- two-view initialization ---
+    init_min_disparity: float = 50.0
+    init_min_tracked: int = 50
+    init_min_inliers: int = 40
+    map_scale: float = 1.0
+
+    # --- reprojection / matching ---
+    max_fts: int = 120              # per-frame feature budget
+    reproj_thresh: float = 2.0      # px; outlier threshold after pose opt
+    subpix_n_iter: int = 10         # feature-alignment iterations
+
+    # --- pose / structure optimization ---
+    poseoptim_thresh: float = 2.0   # px
+    poseoptim_num_iter: int = 10
+    structureoptim_max_pts: int = 20
+    structureoptim_num_iter: int = 5
+
+    # --- local bundle adjustment ---
+    core_n_kfs: int = 3
+    loba_thresh: float = 2.0
+    loba_robust_huber_width: float = 1.0
+    loba_num_iter: int = 0          # 0 disables local BA (fast preset)
+
+    # --- keyframe / map policy ---
+    kfselect_mindist: float = 0.12  # rel. translation / scene depth for new KF
+    max_n_kfs: int = 10             # 0 = unlimited ("SLAM mode" per reference)
+
+    # --- quality gates ---
+    quality_min_fts: int = 50
+    quality_max_drop_fts: int = 40
+
+    # --- depth filter ---
+    seed_convergence_sigma2_thresh: float = 200.0  # converge when sqrt(s2) < range/this
+    df_max_kf_age: int = 3          # seeds older than this many KFs are dropped
+    epi_max_steps: int = 1000       # static cap on epipolar search length (ref cap)
+
+    # --- static capacities (TPU additions; not in the reference) ---
+    max_seeds: int = 2048           # live depth-filter seeds (SoA pool)
+    max_points: int = 8192          # map point pool
+    max_kfs_pool: int = 64          # keyframe pool (>= max_n_kfs + margin)
+    max_obs_per_point: int = 16     # observation slots per point
+    patch_halfsize_align: int = 2   # 4x4 patch for sparse image alignment
+    patch_halfsize_match: int = 4   # 8x8 patch for matching/feature alignment
+
+    # --- misc ---
+    use_imu: bool = False
+    img_imu_delay: float = 0.0
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def n_levels_total(self) -> int:
+        """Pyramid depth actually built (ref: max(n_pyr_levels, klt_max_level+1))."""
+        return max(self.n_pyr_levels, self.klt_max_level + 1)
+
+
+def fast_preset(**overrides) -> Config:
+    """The paper's 'fast' preset (Table I; svo_ros/param/vo_fast.yaml)."""
+    base = dict(max_fts=120, max_n_kfs=10, loba_num_iter=0, grid_size=30,
+                quality_min_fts=50)
+    base.update(overrides)
+    return Config(**base)
+
+
+def accurate_preset(**overrides) -> Config:
+    """The paper's 'accurate' preset (Table I; svo_ros/param/vo_accurate.yaml)."""
+    base = dict(max_fts=200, max_n_kfs=50, loba_num_iter=10, grid_size=20,
+                core_n_kfs=5, quality_min_fts=50, max_points=16384,
+                max_kfs_pool=64)
+    base.update(overrides)
+    return Config(**base)

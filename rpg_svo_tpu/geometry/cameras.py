@@ -1,0 +1,192 @@
+"""Camera models as pure JAX functions.
+
+TPU-native replacement for vikit's AbstractCamera / PinholeCamera /
+ATANCamera (used throughout the reference, e.g. svo/test/test_pipeline.cpp:48,
+svo/src/matcher.cpp and feature bearing vectors in svo/include/svo/feature.h).
+Cameras are NamedTuple pytrees of scalars, so they trace cleanly through jit
+and vmap and can be carried inside device state.
+
+Conventions (match the reference):
+- ``world2cam(xyz_cam)``: 3D point in camera frame -> distorted pixel (u, v).
+- ``cam2world(px)``: pixel -> unit-norm bearing vector f in the camera frame.
+- unit-plane coordinates: (x/z, y/z).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PinholeCamera(NamedTuple):
+    """Pinhole camera with radial-tangential (OpenCV) distortion.
+
+    width/height are floats so the whole struct is a uniform pytree of
+    traced scalars; use ints at construction.
+    """
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    k1: jnp.ndarray
+    k2: jnp.ndarray
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    k3: jnp.ndarray
+    width: jnp.ndarray
+    height: jnp.ndarray
+
+    @staticmethod
+    def make(width, height, fx, fy, cx, cy,
+             k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0) -> "PinholeCamera":
+        f = lambda v: jnp.asarray(v, dtype=jnp.float32)
+        return PinholeCamera(f(fx), f(fy), f(cx), f(cy),
+                             f(k1), f(k2), f(p1), f(p2), f(k3),
+                             f(width), f(height))
+
+    @property
+    def has_distortion(self) -> bool:
+        return True  # distortion coeffs may be zero; math is branch-free
+
+    def _distort(self, xu: jnp.ndarray) -> jnp.ndarray:
+        """Unit-plane undistorted (..., 2) -> unit-plane distorted (..., 2)."""
+        x, y = xu[..., 0], xu[..., 1]
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (self.k1 + r2 * (self.k2 + r2 * self.k3))
+        xd = x * radial + 2.0 * self.p1 * x * y + self.p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + self.p1 * (r2 + 2.0 * y * y) + 2.0 * self.p2 * x * y
+        return jnp.stack([xd, yd], axis=-1)
+
+    def _undistort(self, xd: jnp.ndarray) -> jnp.ndarray:
+        """Iterative inverse of _distort (OpenCV-style division iteration,
+        fixed 10 steps, jit-safe; converges for strong barrel distortion)."""
+        def body(_, xu):
+            x, y = xu[..., 0], xu[..., 1]
+            r2 = x * x + y * y
+            radial = 1.0 + r2 * (self.k1 + r2 * (self.k2 + r2 * self.k3))
+            tx = 2.0 * self.p1 * x * y + self.p2 * (r2 + 2.0 * x * x)
+            ty = self.p1 * (r2 + 2.0 * y * y) + 2.0 * self.p2 * x * y
+            radial = jnp.where(jnp.abs(radial) < 1e-6, 1e-6, radial)
+            return jnp.stack([(xd[..., 0] - tx) / radial,
+                              (xd[..., 1] - ty) / radial], axis=-1)
+        return jax.lax.fori_loop(0, 10, body, xd)
+
+    def project_unitplane(self, uv: jnp.ndarray) -> jnp.ndarray:
+        """Unit-plane (..., 2) -> pixel (..., 2), applying distortion."""
+        xd = self._distort(uv)
+        u = self.fx * xd[..., 0] + self.cx
+        v = self.fy * xd[..., 1] + self.cy
+        return jnp.stack([u, v], axis=-1)
+
+    def world2cam(self, xyz: jnp.ndarray) -> jnp.ndarray:
+        """Camera-frame 3D point (..., 3) -> pixel (..., 2)."""
+        z = xyz[..., 2]
+        zs = jnp.where(jnp.abs(z) < 1e-10, 1e-10, z)
+        return self.project_unitplane(xyz[..., :2] / zs[..., None])
+
+    def cam2world(self, px: jnp.ndarray) -> jnp.ndarray:
+        """Pixel (..., 2) -> unit bearing vector (..., 3)."""
+        xd = jnp.stack([(px[..., 0] - self.cx) / self.fx,
+                        (px[..., 1] - self.cy) / self.fy], axis=-1)
+        xu = self._undistort(xd)
+        f = jnp.concatenate([xu, jnp.ones_like(xu[..., :1])], axis=-1)
+        return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+    def is_in_frame(self, px: jnp.ndarray, boundary: float = 0.0,
+                    level: int = 0) -> jnp.ndarray:
+        """Visibility mask at a pyramid level (ref: Frame::isInFrame)."""
+        scale = jnp.float32(2.0 ** level)
+        w = self.width / scale
+        h = self.height / scale
+        u, v = px[..., 0], px[..., 1]
+        return ((u >= boundary) & (u < w - boundary) &
+                (v >= boundary) & (v < h - boundary))
+
+    @property
+    def error_multiplier2(self) -> jnp.ndarray:
+        """Focal length for converting unit-plane errors to px (ref vikit)."""
+        return self.fx
+
+
+class ATANCamera(NamedTuple):
+    """ATAN / FoV distortion camera (Devernay-Faugeras), as in vikit's
+    ATANCamera (PTAM-style calibration; svo_ros/param/camera_atan.yaml)."""
+    fx: jnp.ndarray  # normalized focal * width, already in px
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    s: jnp.ndarray   # FoV distortion parameter omega
+    width: jnp.ndarray
+    height: jnp.ndarray
+
+    @staticmethod
+    def make(width, height, fx, fy, cx, cy, s) -> "ATANCamera":
+        f = lambda v: jnp.asarray(v, dtype=jnp.float32)
+        # PTAM-style normalized intrinsics: scale by image size, 0.5 offset
+        fx_, fy_ = fx * width, fy * height
+        cx_, cy_ = cx * width - 0.5, cy * height - 0.5
+        return ATANCamera(f(fx_), f(fy_), f(cx_), f(cy_), f(s),
+                          f(width), f(height))
+
+    def _rd_factor(self, ru: jnp.ndarray) -> jnp.ndarray:
+        """rd/ru factor for undistorted unit-plane radius ru."""
+        two_tan_half = 2.0 * jnp.tan(self.s * 0.5)
+        small = ru < 1e-8
+        safe = jnp.where(small, 1.0, ru)
+        fac = jnp.arctan(safe * two_tan_half) / (safe * self.s)
+        return jnp.where(small | (self.s < 1e-8), 1.0, fac)
+
+    def _ru_factor(self, rd: jnp.ndarray) -> jnp.ndarray:
+        """ru/rd factor for distorted radius rd (closed-form inverse)."""
+        two_tan_half = 2.0 * jnp.tan(self.s * 0.5)
+        small = rd < 1e-8
+        safe = jnp.where(small, 1.0, rd)
+        fac = jnp.tan(safe * self.s) / (safe * two_tan_half)
+        return jnp.where(small | (self.s < 1e-8), 1.0, fac)
+
+    def project_unitplane(self, uv: jnp.ndarray) -> jnp.ndarray:
+        ru = jnp.linalg.norm(uv, axis=-1)
+        fac = self._rd_factor(ru)
+        xd = uv * fac[..., None]
+        return jnp.stack([self.fx * xd[..., 0] + self.cx,
+                          self.fy * xd[..., 1] + self.cy], axis=-1)
+
+    def world2cam(self, xyz: jnp.ndarray) -> jnp.ndarray:
+        z = xyz[..., 2]
+        zs = jnp.where(jnp.abs(z) < 1e-10, 1e-10, z)
+        return self.project_unitplane(xyz[..., :2] / zs[..., None])
+
+    def cam2world(self, px: jnp.ndarray) -> jnp.ndarray:
+        xd = jnp.stack([(px[..., 0] - self.cx) / self.fx,
+                        (px[..., 1] - self.cy) / self.fy], axis=-1)
+        rd = jnp.linalg.norm(xd, axis=-1)
+        xu = xd * self._ru_factor(rd)[..., None]
+        f = jnp.concatenate([xu, jnp.ones_like(xu[..., :1])], axis=-1)
+        return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+    def is_in_frame(self, px: jnp.ndarray, boundary: float = 0.0,
+                    level: int = 0) -> jnp.ndarray:
+        scale = jnp.float32(2.0 ** level)
+        w = self.width / scale
+        h = self.height / scale
+        u, v = px[..., 0], px[..., 1]
+        return ((u >= boundary) & (u < w - boundary) &
+                (v >= boundary) & (v < h - boundary))
+
+    @property
+    def error_multiplier2(self) -> jnp.ndarray:
+        return self.fx
+
+
+def project2d(xyz: jnp.ndarray) -> jnp.ndarray:
+    """3D -> unit-plane 2D (ref: vk::project2d)."""
+    z = xyz[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-10, 1e-10, z)
+    return xyz[..., :2] / zs[..., None]
+
+
+def unproject2d(uv: jnp.ndarray) -> jnp.ndarray:
+    """Unit-plane 2D -> homogeneous 3D with z=1."""
+    return jnp.concatenate([uv, jnp.ones_like(uv[..., :1])], axis=-1)

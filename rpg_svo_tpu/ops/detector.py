@@ -1,0 +1,192 @@
+"""FAST-10 corner detection, Shi-Tomasi scoring, NMS, grid bucketing.
+
+TPU-native equivalent of FastDetector (svo/src/feature_detection.cpp:66-114)
+plus the external `fast` library's SSE2/NEON corner detectors and vikit's
+``shiTomasiScore``.  Instead of per-pixel scalar loops with SIMD intrinsics,
+everything is dense whole-image tensor math:
+
+- the FAST segment test is 16 shifted comparisons + a circular run-length
+  reduction, fused by XLA on the VPU;
+- Shi-Tomasi is two gradient maps + an 8x8 box filter (separable cumsum);
+- non-max suppression is a 3x3 max-pool compare;
+- the reference's grid-cell bucketing ("one best corner per cell across all
+  pyramid levels", feature_detection.cpp:42-114) is a segment-max over cell
+  ids, producing a STATIC (n_cells,) feature table — the shape the rest of
+  the pipeline consumes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3, (dx, dy), clockwise from 12 o'clock.
+FAST_OFFSETS = (
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+
+
+def fast_corner_mask(img: jnp.ndarray, threshold: float = 20.0,
+                     arc_length: int = 10) -> jnp.ndarray:
+    """Dense FAST segment-test mask (H, W) bool.
+
+    A pixel passes if >= arc_length contiguous circle pixels are all
+    brighter than I+t or all darker than I−t (FAST-10 for arc_length=10,
+    matching fast_corner_detect_10 in the reference's `fast` dependency).
+    """
+    shifted = []
+    for dx, dy in FAST_OFFSETS:
+        shifted.append(jnp.roll(jnp.roll(img, -dy, axis=0), -dx, axis=1))
+    circle = jnp.stack(shifted, axis=0)               # (16, H, W)
+    brighter = circle > img[None] + threshold
+    darker = circle < img[None] - threshold
+
+    def has_run(mask):
+        # circular contiguous run of arc_length: AND over each window
+        ext = jnp.concatenate([mask, mask[: arc_length - 1]], axis=0)
+        hit = jnp.zeros(img.shape, dtype=bool)
+        for k in range(16):
+            hit = hit | jnp.all(ext[k: k + arc_length], axis=0)
+        return hit
+
+    corner = has_run(brighter) | has_run(darker)
+    # circle support must be inside the image (3px border)
+    H, W = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inside = (xx >= 3) & (xx < W - 3) & (yy >= 3) & (yy < H - 3)
+    return corner & inside
+
+
+def _box_sum(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Sum over a size x size window centered (size even: offset like the
+    reference's halfbox loop), same output shape, zero padding."""
+    # integral image approach: cumsum along each axis
+    half = size // 2
+    pad = jnp.pad(x, ((half + 1, half), (half + 1, half)))
+    ii = jnp.cumsum(jnp.cumsum(pad, axis=0), axis=1)
+    H, W = x.shape
+    a = ii[size:, size:][:H, :W]
+    b = ii[:-size, size:][:H, :W]
+    c = ii[size:, :-size][:H, :W]
+    d = ii[:-size, :-size][:H, :W]
+    return a - b - c + d
+
+
+def shi_tomasi_score(img: jnp.ndarray, halfbox: int = 4) -> jnp.ndarray:
+    """Dense min-eigenvalue corner score (vikit shiTomasiScore semantics:
+    central differences over an 8x8 box, normalized by 2*box_area)."""
+    dx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
+    dy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    # vikit uses raw I(x+1)-I(x-1) (no 0.5); fold the 2x into normalization
+    dx = dx * 2.0
+    dy = dy * 2.0
+    box = 2 * halfbox
+    box_area = box * box
+    dxx = _box_sum(dx * dx, box) / (2.0 * box_area)
+    dyy = _box_sum(dy * dy, box) / (2.0 * box_area)
+    dxy = _box_sum(dx * dy, box) / (2.0 * box_area)
+    tr = dxx + dyy
+    disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * (dxx * dyy - dxy * dxy), 0.0))
+    return 0.5 * (tr - disc)
+
+
+def nonmax_3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """True where score is a strict 3x3 local max."""
+    neigh = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            neigh.append(jnp.roll(jnp.roll(score, dy, axis=0), dx, axis=1))
+    return score >= jnp.stack(neigh).max(axis=0)
+
+
+def grid_dims(width: int, height: int, cell_size: int) -> Tuple[int, int]:
+    return (-(-width // cell_size), -(-height // cell_size))
+
+
+@functools.partial(jax.jit, static_argnames=("cell_size", "threshold",
+                                             "arc_length", "img_shape0"))
+def detect_features(pyramid: Tuple[jnp.ndarray, ...],
+                    occupied: jnp.ndarray,
+                    cell_size: int,
+                    threshold: float = 20.0,
+                    arc_length: int = 10,
+                    img_shape0: Tuple[int, int] | None = None):
+    """FAST + Shi-Tomasi + NMS + per-cell best across all pyramid levels.
+
+    Args:
+      pyramid: tuple of (H_l, W_l) images.
+      occupied: (n_cells,) bool — cells to skip (existing features / seeds),
+        reference semantics of setGridOccpuancy/setExistingFeatures.
+      cell_size: detector grid cell size in level-0 px.
+
+    Returns dict of static-shape per-cell arrays:
+      px (n_cells, 2) level-0 float coords; level (n_cells,) int32;
+      score (n_cells,) f32; valid (n_cells,) bool.
+    """
+    H0, W0 = pyramid[0].shape
+    ncx, ncy = grid_dims(W0, H0, cell_size)
+    n_cells = ncx * ncy
+
+    best_score = jnp.full((n_cells,), -jnp.inf, dtype=jnp.float32)
+    best_px = jnp.zeros((n_cells, 2), dtype=jnp.float32)
+    best_level = jnp.zeros((n_cells,), dtype=jnp.int32)
+
+    for level, img in enumerate(pyramid):
+        H, W = img.shape
+        corner = fast_corner_mask(img, threshold, arc_length)
+        score = shi_tomasi_score(img)
+        keep = corner & nonmax_3x3(jnp.where(corner, score, -jnp.inf))
+        scale = 2 ** level
+        yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        cell = jnp.minimum(yy * scale // cell_size, ncy - 1) * ncx \
+            + jnp.minimum(xx * scale // cell_size, ncx - 1)
+        masked = jnp.where(keep, score, -jnp.inf).ravel()
+        cell = cell.ravel()
+        lvl_best = jax.ops.segment_max(masked, cell, num_segments=n_cells)
+        # which pixel achieved the max in its cell at this level
+        is_best = (masked == lvl_best[cell]) & jnp.isfinite(masked)
+        # tie-break: lowest flat index wins via segment_min over index
+        idx = jnp.arange(H * W, dtype=jnp.int32)
+        win_idx = jax.ops.segment_min(
+            jnp.where(is_best, idx, jnp.int32(H * W)), cell,
+            num_segments=n_cells)
+        has = win_idx < H * W
+        wi = jnp.clip(win_idx, 0, H * W - 1)
+        px_l = jnp.stack([(wi % W).astype(jnp.float32),
+                          (wi // W).astype(jnp.float32)], axis=-1)
+        px0 = px_l * scale
+        better = has & (lvl_best > best_score)
+        best_px = jnp.where(better[:, None], px0, best_px)
+        best_level = jnp.where(better, level, best_level)
+        best_score = jnp.where(better, lvl_best, best_score)
+
+    valid = jnp.isfinite(best_score) & (best_score > 0) & (~occupied)
+    return {
+        "px": best_px,
+        "level": best_level,
+        "score": jnp.where(valid, best_score, 0.0),
+        "valid": valid,
+    }
+
+
+def cell_index(px: jnp.ndarray, cell_size: int, ncx: int,
+               ncy: int) -> jnp.ndarray:
+    """Level-0 pixel coords (..., 2) -> flat grid cell index."""
+    cx = jnp.clip((px[..., 0] // cell_size).astype(jnp.int32), 0, ncx - 1)
+    cy = jnp.clip((px[..., 1] // cell_size).astype(jnp.int32), 0, ncy - 1)
+    return cy * ncx + cx
+
+
+def select_top_k(scores: jnp.ndarray, valid: jnp.ndarray, k: int):
+    """Indices of the k best valid entries (padded with -1)."""
+    masked = jnp.where(valid, scores, -jnp.inf)
+    vals, idx = jax.lax.top_k(masked, k)
+    return jnp.where(jnp.isfinite(vals), idx, -1)

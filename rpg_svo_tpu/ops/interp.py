@@ -1,0 +1,69 @@
+"""Bilinear image sampling and patch extraction.
+
+Equivalent of the reference's scattered bilinear-interp loops
+(vk::interpolateMat_8u, the patch loads in svo/src/matcher.cpp:72-105 and
+svo/src/feature_alignment.cpp).  Here sampling is expressed as batched
+gathers with f32 accumulation; the per-feature patch grids are built once
+as static (P*P, 2) offset tables so every alignment kernel is a single
+vectorized gather + FMA over all features at once.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def bilinear(img: jnp.ndarray, xy: jnp.ndarray,
+             fill: float = 0.0):
+    """Sample img (H, W) at float coords xy (..., 2) = (x, y).
+
+    Returns (values (...,), valid (...,)) where valid marks samples whose
+    4-pixel support is fully inside the image.  Out-of-range coords are
+    clamped before the gather so the op is safe; use the mask to ignore them.
+    """
+    H, W = img.shape
+    x = xy[..., 0]
+    y = xy[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    valid = (x0 >= 0) & (y0 >= 0) & (x0 < W - 1) & (y0 < H - 1)
+    xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    i00 = img[yi, xi]
+    i01 = img[yi, xi + 1]
+    i10 = img[yi + 1, xi]
+    i11 = img[yi + 1, xi + 1]
+    top = i00 * (1.0 - wx) + i01 * wx
+    bot = i10 * (1.0 - wx) + i11 * wx
+    vals = top * (1.0 - wy) + bot * wy
+    return jnp.where(valid, vals, fill), valid
+
+
+def patch_grid(halfsize: int, border: int = 0) -> jnp.ndarray:
+    """Static (P*P, 2) offset table for a (2*halfsize+2*border)^2 patch,
+    offsets relative to the patch center, pixel-aligned (x, y) order."""
+    size = 2 * (halfsize + border)
+    r = jnp.arange(size, dtype=jnp.float32) - (halfsize + border)
+    ys, xs = jnp.meshgrid(r, r, indexing="ij")
+    return jnp.stack([xs.ravel(), ys.ravel()], axis=-1)
+
+
+def extract_patches(img: jnp.ndarray, centers: jnp.ndarray,
+                    halfsize: int, border: int = 0):
+    """Bilinear patches around centers (N, 2) -> (N, P*P), valid (N,).
+
+    A patch is valid only if every sample lies inside the image.
+    """
+    grid = patch_grid(halfsize, border)              # (P*P, 2)
+    coords = centers[:, None, :] + grid[None, :, :]  # (N, P*P, 2)
+    vals, ok = bilinear(img, coords)
+    return vals, jnp.all(ok, axis=-1)
+
+
+def image_gradients(img: jnp.ndarray):
+    """Central-difference gradients (dx, dy), same shape, 0.5*(I+1 − I−1)."""
+    dx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
+    dy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    return dx, dy
