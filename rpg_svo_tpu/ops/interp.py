@@ -62,6 +62,74 @@ def extract_patches(img: jnp.ndarray, centers: jnp.ndarray,
     return vals, jnp.all(ok, axis=-1)
 
 
+class FlatPyramid:
+    """All pyramid levels concatenated into one flat buffer.
+
+    Enables bilinear sampling where the pyramid LEVEL is a per-query traced
+    value: flat index = level_offset[l] + y * width[l] + x, one gather for
+    the whole batch regardless of level mix.  This is the TPU-shaped
+    replacement for the reference's per-feature ``frame->img_pyr_[level]``
+    indirection.
+    """
+
+    def __init__(self, levels):
+        import numpy as _np
+        self.n_levels = len(levels)
+        self.shapes = tuple((int(l.shape[0]), int(l.shape[1]))
+                            for l in levels)
+        offs = _np.cumsum([0] + [h * w for h, w in self.shapes])
+        self._offsets = jnp.asarray(offs[:-1], dtype=jnp.int32)
+        self._widths = jnp.asarray([w for _, w in self.shapes],
+                                   dtype=jnp.int32)
+        self._heights = jnp.asarray([h for h, _ in self.shapes],
+                                    dtype=jnp.int32)
+        self.flat = jnp.concatenate([l.reshape(-1) for l in levels])
+
+    def tree_flatten(self):
+        return ((self.flat, self._offsets, self._widths, self._heights),
+                (self.n_levels, self.shapes))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.flat, obj._offsets, obj._widths, obj._heights = children
+        obj.n_levels, obj.shapes = aux
+        return obj
+
+    def bilinear(self, level: jnp.ndarray, xy: jnp.ndarray,
+                 fill: float = 0.0):
+        """Sample at level-``level`` coords xy (..., 2); level broadcasts
+        against xy's batch dims. Returns (values, valid)."""
+        level = jnp.clip(level, 0, self.n_levels - 1)
+        W = self._widths[level]
+        H = self._heights[level]
+        base = self._offsets[level]
+        x, y = xy[..., 0], xy[..., 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = x - x0
+        wy = y - y0
+        valid = (x0 >= 0) & (y0 >= 0) & (x0 < (W - 1)) & (y0 < (H - 1))
+        xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+        yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+        idx = base + yi * W + xi
+        i00 = self.flat[idx]
+        i01 = self.flat[idx + 1]
+        i10 = self.flat[idx + W]
+        i11 = self.flat[idx + W + 1]
+        top = i00 * (1.0 - wx) + i01 * wx
+        bot = i10 * (1.0 - wx) + i11 * wx
+        return jnp.where(valid, top * (1.0 - wy) + bot * wy, fill), valid
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(
+    FlatPyramid,
+    lambda p: p.tree_flatten(),
+    FlatPyramid.tree_unflatten)
+
+
 def image_gradients(img: jnp.ndarray):
     """Central-difference gradients (dx, dy), same shape, 0.5*(I+1 − I−1)."""
     dx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
