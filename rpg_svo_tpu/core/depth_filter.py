@@ -1,0 +1,222 @@
+"""Probabilistic depth filter: Bayesian inverse-depth seeds, fully batched.
+
+TPU-native equivalent of DepthFilter + Seed (svo/src/depth_filter.cpp).
+The reference runs a mapping THREAD that walks a linked list of seeds one
+at a time (epipolar search -> tau -> Bayesian update).  Here the whole seed
+pool updates in ONE batched device program per frame — the reference's
+biggest unexploited parallelism (SURVEY §7.2 step 7).  The thread/queue
+machinery (frame queue, condvar, halt flag) disappears: the pipeline calls
+`update_seeds` synchronously with an async-dispatched device program.
+
+Reproduced reference math:
+- Seed init: a=10, b=10, mu=1/depth_mean, z_range=1/depth_min,
+  sigma2=(z_range/6)^2 (depth_filter.cpp:37-46), batch-counter aging;
+- seed aging: drop seeds older than max_n_kfs keyframes (:216-219);
+- visibility gating, epipolar search in mu +/- sqrt(sigma2) (:236-242);
+- failed match => b += 1 (:243-247);
+- tau from the 1-px observation-angle geometry (computeTau, :334-350),
+  converted to inverse depth;
+- Vogiatzis/Hernandez moment-matching posterior update (updateSeed,
+  :309-332);
+- convergence when sqrt(sigma2) < z_range / thresh => new CANDIDATE point
+  (:260-282); NaN guard prunes the seed (:283-287).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rpg_svo_tpu.geometry.se3 import SE3
+from rpg_svo_tpu.ops.interp import FlatPyramid, BoundPyramidPool
+from rpg_svo_tpu.ops.detector import detect_features
+from rpg_svo_tpu.ops.matcher import epipolar_match
+from rpg_svo_tpu.core.map import (
+    MapState, SeedStore, TYPE_CANDIDATE, free_slots, alloc_scatter,
+    alloc_points,
+)
+
+INIT_A = 10.0
+INIT_B = 10.0
+
+
+class SeedUpdateStats(NamedTuple):
+    n_updated: jnp.ndarray
+    n_failed: jnp.ndarray
+    n_converged: jnp.ndarray
+    n_seeds: jnp.ndarray
+
+
+def seed_variance_update(mu, sigma2, a, b, z_range, x, tau2):
+    """Vogiatzis-Hernandez Bayesian update (depth_filter.cpp:309-332).
+    All args (S,); returns (mu', sigma2', a', b')."""
+    norm_scale2 = sigma2 + tau2
+    norm_scale = jnp.sqrt(jnp.maximum(norm_scale2, 1e-20))
+    s2 = 1.0 / (1.0 / jnp.maximum(sigma2, 1e-20) + 1.0 / jnp.maximum(tau2, 1e-20))
+    m = s2 * (mu / jnp.maximum(sigma2, 1e-20) + x / jnp.maximum(tau2, 1e-20))
+    pdf = jnp.exp(-0.5 * ((x - mu) / norm_scale) ** 2) \
+        / (norm_scale * jnp.sqrt(2.0 * jnp.pi))
+    C1 = a / (a + b) * pdf
+    C2 = b / (a + b) / jnp.maximum(z_range, 1e-20)
+    norm = jnp.maximum(C1 + C2, 1e-20)
+    C1 = C1 / norm
+    C2 = C2 / norm
+    f = C1 * (a + 1.0) / (a + b + 1.0) + C2 * a / (a + b + 1.0)
+    e = C1 * (a + 1.0) * (a + 2.0) / ((a + b + 1.0) * (a + b + 2.0)) \
+        + C2 * a * (a + 1.0) / ((a + b + 1.0) * (a + b + 2.0))
+    mu_new = C1 * m + C2 * mu
+    sigma2_new = C1 * (s2 + m * m) + C2 * (sigma2 + mu * mu) \
+        - mu_new * mu_new
+    a_new = (e - f) / jnp.where(jnp.abs(f - e / jnp.maximum(f, 1e-20)) < 1e-20,
+                                1e-20, f - e / jnp.maximum(f, 1e-20))
+    b_new = a_new * (1.0 - f) / jnp.maximum(f, 1e-20)
+    # guard: keep old values if anything went non-finite
+    ok = jnp.isfinite(mu_new) & jnp.isfinite(sigma2_new) \
+        & jnp.isfinite(a_new) & jnp.isfinite(b_new)
+    return (jnp.where(ok, mu_new, mu), jnp.where(ok, sigma2_new, sigma2),
+            jnp.where(ok, a_new, a), jnp.where(ok, b_new, b))
+
+
+def compute_tau(T_ref_cur_t: jnp.ndarray, f: jnp.ndarray, z: jnp.ndarray,
+                px_error_angle: jnp.ndarray) -> jnp.ndarray:
+    """Measurement std in depth from 1px angular error (computeTau)."""
+    t = T_ref_cur_t                                     # (S, 3)
+    a = f * z[:, None] - t
+    t_norm = jnp.linalg.norm(t, axis=-1)
+    a_norm = jnp.linalg.norm(a, axis=-1)
+    alpha = jnp.arccos(jnp.clip(
+        jnp.sum(f * t, -1) / jnp.maximum(t_norm, 1e-12), -1.0, 1.0))
+    beta = jnp.arccos(jnp.clip(
+        jnp.sum(a * (-t), -1) / jnp.maximum(t_norm * a_norm, 1e-12),
+        -1.0, 1.0))
+    beta_plus = beta + px_error_angle
+    gamma_plus = jnp.pi - alpha - beta_plus
+    sin_g = jnp.sin(gamma_plus)
+    z_plus = t_norm * jnp.sin(beta_plus) / jnp.where(
+        jnp.abs(sin_g) < 1e-12, 1e-12, sin_g)
+    return z_plus - z
+
+
+@functools.partial(jax.jit, static_argnames=("cell_size", "min_score",
+                                             "n_levels"))
+def init_seeds(m: MapState, kf_slot: jnp.ndarray,
+               pyramid: Tuple[jnp.ndarray, ...],
+               cam, occupied: jnp.ndarray,
+               depth_mean: jnp.ndarray, depth_min: jnp.ndarray,
+               cell_size: int, min_score: float = 20.0,
+               n_levels: int = 5) -> MapState:
+    """DepthFilter::initializeSeeds: FAST-detect on the new keyframe,
+    avoiding occupied cells, one seed per new corner.
+
+    Increments the keyframe batch counter (Seed::batch_counter)."""
+    det = detect_features(pyramid, occupied, cell_size)
+    good = det["valid"] & (det["score"] > min_score)
+    n = good.shape[0]
+    kf_counter = m.kf_counter + 1
+
+    seed = m.seed
+    slots = free_slots(seed.active, n)
+    slots = jnp.where(good, slots, -1)
+    f = cam.cam2world(det["px"])
+    z_range = 1.0 / jnp.maximum(depth_min, 1e-6)
+    seed = seed._replace(
+        active=alloc_scatter(seed.active, slots, jnp.ones((n,), bool)),
+        kf_slot=alloc_scatter(seed.kf_slot, slots,
+                              jnp.full((n,), kf_slot, jnp.int32)),
+        batch_id=alloc_scatter(seed.batch_id, slots,
+                               jnp.full((n,), kf_counter, jnp.int32)),
+        px=alloc_scatter(seed.px, slots, det["px"]),
+        f=alloc_scatter(seed.f, slots, f),
+        level=alloc_scatter(seed.level, slots, det["level"]),
+        a=alloc_scatter(seed.a, slots, jnp.full((n,), INIT_A)),
+        b=alloc_scatter(seed.b, slots, jnp.full((n,), INIT_B)),
+        mu=alloc_scatter(seed.mu, slots,
+                         jnp.full((n,), 1.0 / jnp.maximum(depth_mean, 1e-6))),
+        z_range=alloc_scatter(seed.z_range, slots, jnp.full((n,), z_range)),
+        sigma2=alloc_scatter(seed.sigma2, slots,
+                             jnp.full((n,), (z_range * z_range) / 36.0)),
+    )
+    return m._replace(seed=seed, kf_counter=kf_counter)
+
+
+@functools.partial(jax.jit, static_argnames=("max_n_kfs", "conv_thresh",
+                                             "max_steps"))
+def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
+                 max_n_kfs: int = 3, conv_thresh: float = 200.0,
+                 max_steps: int = 256
+                 ) -> Tuple[MapState, SeedUpdateStats]:
+    """One batched update of ALL active seeds against the current frame."""
+    seed = m.seed
+    S = seed.active.shape[0]
+
+    # --- aging (depth_filter.cpp:216-219)
+    too_old = (m.kf_counter - seed.batch_id) > max_n_kfs
+    active = seed.active & ~too_old
+
+    # --- per-seed relative pose: T_cur_ref = T_cur_w * T_w_kf
+    kf_idx = jnp.clip(seed.kf_slot, 0, m.kf.R.shape[0] - 1)
+    T_kf_w = SE3(m.kf.R[kf_idx], m.kf.t[kf_idx])          # batched (S,)
+    T_cur_ref = T_cur_w * T_kf_w.inverse()
+    T_ref_cur = T_cur_ref.inverse()
+
+    # --- visibility (depth_filter.cpp:222-231)
+    mu_safe = jnp.maximum(seed.mu, 1e-8)
+    p_cur = T_cur_ref.apply(seed.f / mu_safe[:, None])
+    px_cur = cam.world2cam(p_cur)
+    visible = (p_cur[..., 2] > 0.0) & cam.is_in_frame(px_cur)
+    eligible = active & visible
+
+    # --- epipolar search range in inverse depth (:236-238)
+    sig = jnp.sqrt(jnp.maximum(seed.sigma2, 0.0))
+    z_inv_min = seed.mu + sig                   # near (large inv depth)
+    z_inv_max = jnp.maximum(seed.mu - sig, 1e-8)
+    d_min = 1.0 / jnp.maximum(z_inv_min, 1e-8)
+    d_max = 1.0 / z_inv_max
+    ref_pool = BoundPyramidPool(m.kf.flat_pyr, cur_pyr.shapes, kf_idx)
+    match = epipolar_match(
+        cur_pyr, ref_pool, cam, T_cur_ref, seed.px, seed.f, seed.level,
+        d_estimate=1.0 / mu_safe, d_min=d_min, d_max=d_max,
+        valid=eligible, max_steps=max_steps)
+    matched = eligible & match.success
+
+    # --- failed match: outlier evidence b += 1 (:243-247)
+    b_new = jnp.where(eligible & ~match.success, seed.b + 1.0, seed.b)
+
+    # --- tau and Bayesian update (:249-255)
+    px_error_angle = jnp.arctan(1.0 / (2.0 * cam.fx)) * 2.0
+    z = jnp.maximum(match.depth_ref, 1e-8)
+    tau = compute_tau(T_ref_cur.t, seed.f, z, px_error_angle)
+    tau_inv = 0.5 * (1.0 / jnp.maximum(1e-7, z - tau) - 1.0 / (z + tau))
+    mu2, sigma22, a2, b2 = seed_variance_update(
+        seed.mu, seed.sigma2, seed.a, b_new, seed.z_range,
+        1.0 / z, tau_inv * tau_inv)
+    mu_out = jnp.where(matched, mu2, seed.mu)
+    sigma2_out = jnp.where(matched, sigma22, seed.sigma2)
+    a_out = jnp.where(matched, a2, seed.a)
+    b_out = jnp.where(matched, b2, b_new)
+
+    # --- convergence => new CANDIDATE points (:260-282)
+    converged = matched & (jnp.sqrt(jnp.maximum(sigma2_out, 0.0))
+                           < seed.z_range / conv_thresh)
+    T_w_kf = T_kf_w.inverse()
+    p_w = T_w_kf.apply(seed.f / jnp.maximum(mu_out, 1e-8)[:, None])
+    pt, new_ids = alloc_points(
+        m.pt, p_w, TYPE_CANDIDATE, seed.kf_slot, seed.px, seed.f,
+        seed.level, converged)
+
+    # --- prune: converged, NaN, aged-out
+    nan_seed = ~jnp.isfinite(z_inv_min) | ~jnp.isfinite(mu_out)
+    active_out = active & ~converged & ~nan_seed
+
+    seed = seed._replace(active=active_out, mu=mu_out, sigma2=sigma2_out,
+                         a=a_out, b=b_out)
+    stats = SeedUpdateStats(
+        n_updated=jnp.sum(matched).astype(jnp.int32),
+        n_failed=jnp.sum(eligible & ~match.success).astype(jnp.int32),
+        n_converged=jnp.sum(converged).astype(jnp.int32),
+        n_seeds=jnp.sum(active_out).astype(jnp.int32),
+    )
+    return m._replace(seed=seed, pt=pt), stats

@@ -1,0 +1,376 @@
+"""Map data model: fixed-capacity SoA pools for keyframes, points, seeds.
+
+TPU-native replacement for the reference's pointer-graph data model
+(Frame/Feature/Point/Map/MapPointCandidates/Seed —
+svo/include/svo/{frame,feature,point,map,depth_filter}.h).  Linked lists and
+raw pointers become index tables with validity masks; insert/erase become
+masked scatters into static-capacity pools, so every map operation is a
+jittable device program and the whole map state is one pytree that can be
+checkpointed, donated, or sharded.
+
+Point types follow Point::Type (point.h): DELETED < CANDIDATE < UNKNOWN <
+GOOD; reprojection prefers higher types (reprojector.cpp:146-149).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rpg_svo_tpu.geometry.se3 import SE3
+
+TYPE_DELETED = 0
+TYPE_CANDIDATE = 1
+TYPE_UNKNOWN = 2
+TYPE_GOOD = 3
+
+
+class KeyframeStore(NamedTuple):
+    """Keyframe pool. Pyramids live as flat buffers (one FlatPyramid layout
+    shared by all slots); features are per-KF fixed-capacity tables."""
+    flat_pyr: jnp.ndarray     # (K, L) all pyramid levels flattened
+    R: jnp.ndarray            # (K, 3, 3) T_f_w rotation
+    t: jnp.ndarray            # (K, 3)    T_f_w translation
+    frame_id: jnp.ndarray     # (K,) int32, -1 when free
+    active: jnp.ndarray       # (K,) bool
+    feat_px: jnp.ndarray      # (K, F, 2) level-0 px
+    feat_f: jnp.ndarray       # (K, F, 3) unit bearing
+    feat_level: jnp.ndarray   # (K, F) int32
+    feat_point: jnp.ndarray   # (K, F) int32 point index, -1 none
+    feat_valid: jnp.ndarray   # (K, F) bool
+    kp5_dir: jnp.ndarray      # (K, 5, 3) bearing of 5 key features
+    kp5_depth: jnp.ndarray    # (K, 5) depth along bearing
+    kp5_valid: jnp.ndarray    # (K, 5) bool
+
+    @property
+    def T_f_w(self) -> SE3:
+        return SE3(self.R, self.t)
+
+
+class PointStore(NamedTuple):
+    pos: jnp.ndarray          # (P, 3) world position
+    ptype: jnp.ndarray        # (P,) int32 TYPE_*
+    n_succ: jnp.ndarray       # (P,) int32 successful reprojections
+    n_fail: jnp.ndarray       # (P,) int32 failed reprojections
+    last_optim: jnp.ndarray   # (P,) int32 frame id of last structure opt
+    obs_kf: jnp.ndarray       # (P, M) int32 keyframe slot, -1 free
+    obs_feat: jnp.ndarray     # (P, M) int32 feature index in that KF
+    obs_valid: jnp.ndarray    # (P, M) bool
+    # origin observation (the seed's feature in its spawning KF); candidates
+    # have only this until bound to a keyframe (MapPointCandidates role)
+    orig_kf: jnp.ndarray      # (P,) int32 keyframe slot
+    orig_px: jnp.ndarray      # (P, 2) level-0 px
+    orig_f: jnp.ndarray       # (P, 3) unit bearing
+    orig_level: jnp.ndarray   # (P,) int32
+
+    @property
+    def active(self) -> jnp.ndarray:
+        return self.ptype != TYPE_DELETED
+
+    @property
+    def n_obs(self) -> jnp.ndarray:
+        return jnp.sum(self.obs_valid, axis=-1)
+
+
+class SeedStore(NamedTuple):
+    """Depth-filter seeds: Beta(a,b) x Gaussian(mu, sigma2) on inverse
+    depth (depth_filter.cpp:37-46)."""
+    active: jnp.ndarray       # (S,) bool
+    kf_slot: jnp.ndarray      # (S,) int32 origin keyframe slot
+    batch_id: jnp.ndarray     # (S,) int32 keyframe counter at spawn
+    px: jnp.ndarray           # (S, 2) level-0 px in origin KF
+    f: jnp.ndarray            # (S, 3) unit bearing in origin KF
+    level: jnp.ndarray        # (S,) int32
+    a: jnp.ndarray            # (S,) inlier pseudo-count
+    b: jnp.ndarray            # (S,) outlier pseudo-count
+    mu: jnp.ndarray           # (S,) inverse-depth mean
+    z_range: jnp.ndarray      # (S,) inverse-depth range (1/depth_min)
+    sigma2: jnp.ndarray       # (S,) inverse-depth variance
+
+
+class MapState(NamedTuple):
+    kf: KeyframeStore
+    pt: PointStore
+    seed: SeedStore
+    kf_counter: jnp.ndarray   # scalar int32 (Seed::batch_counter equivalent)
+
+
+def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
+             n_seeds: int, flat_len: int) -> MapState:
+    kf = KeyframeStore(
+        flat_pyr=jnp.zeros((n_kfs, flat_len), jnp.float32),
+        R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (n_kfs, 1, 1)),
+        t=jnp.zeros((n_kfs, 3), jnp.float32),
+        frame_id=jnp.full((n_kfs,), -1, jnp.int32),
+        active=jnp.zeros((n_kfs,), bool),
+        feat_px=jnp.zeros((n_kfs, n_feats, 2), jnp.float32),
+        feat_f=jnp.tile(jnp.array([0.0, 0.0, 1.0], jnp.float32),
+                        (n_kfs, n_feats, 1)),
+        feat_level=jnp.zeros((n_kfs, n_feats), jnp.int32),
+        feat_point=jnp.full((n_kfs, n_feats), -1, jnp.int32),
+        feat_valid=jnp.zeros((n_kfs, n_feats), bool),
+        kp5_dir=jnp.tile(jnp.array([0.0, 0.0, 1.0], jnp.float32),
+                         (n_kfs, 5, 1)),
+        kp5_depth=jnp.ones((n_kfs, 5), jnp.float32),
+        kp5_valid=jnp.zeros((n_kfs, 5), bool),
+    )
+    pt = PointStore(
+        pos=jnp.zeros((n_points, 3), jnp.float32),
+        ptype=jnp.zeros((n_points,), jnp.int32),
+        n_succ=jnp.zeros((n_points,), jnp.int32),
+        n_fail=jnp.zeros((n_points,), jnp.int32),
+        last_optim=jnp.zeros((n_points,), jnp.int32),
+        obs_kf=jnp.full((n_points, n_obs), -1, jnp.int32),
+        obs_feat=jnp.full((n_points, n_obs), -1, jnp.int32),
+        obs_valid=jnp.zeros((n_points, n_obs), bool),
+        orig_kf=jnp.full((n_points,), -1, jnp.int32),
+        orig_px=jnp.zeros((n_points, 2), jnp.float32),
+        orig_f=jnp.tile(jnp.array([0.0, 0.0, 1.0], jnp.float32),
+                        (n_points, 1)),
+        orig_level=jnp.zeros((n_points,), jnp.int32),
+    )
+    seed = SeedStore(
+        active=jnp.zeros((n_seeds,), bool),
+        kf_slot=jnp.full((n_seeds,), -1, jnp.int32),
+        batch_id=jnp.zeros((n_seeds,), jnp.int32),
+        px=jnp.zeros((n_seeds, 2), jnp.float32),
+        f=jnp.tile(jnp.array([0.0, 0.0, 1.0], jnp.float32), (n_seeds, 1)),
+        level=jnp.zeros((n_seeds,), jnp.int32),
+        a=jnp.ones((n_seeds,), jnp.float32),
+        b=jnp.ones((n_seeds,), jnp.float32),
+        mu=jnp.ones((n_seeds,), jnp.float32),
+        z_range=jnp.ones((n_seeds,), jnp.float32),
+        sigma2=jnp.ones((n_seeds,), jnp.float32),
+    )
+    return MapState(kf, pt, seed, jnp.int32(0))
+
+
+# ---------------------------------------------------------------------------
+# slot allocation helpers
+# ---------------------------------------------------------------------------
+
+def free_slots(active: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Indices of up to n free slots (-1 padded), static shape (n,)."""
+    idx = jnp.nonzero(~active, size=n, fill_value=-1)[0]
+    return idx.astype(jnp.int32)
+
+
+def alloc_scatter(arr: jnp.ndarray, slots: jnp.ndarray,
+                  values: jnp.ndarray) -> jnp.ndarray:
+    """Scatter values into arr at slots, skipping slots == -1."""
+    ok = slots >= 0
+    safe = jnp.where(ok, slots, 0)
+    shape = (ok.shape[0],) + (1,) * (arr.ndim - 1)
+    old = arr[safe]
+    newv = jnp.where(ok.reshape(shape), values, old)
+    return arr.at[safe].set(newv)
+
+
+# ---------------------------------------------------------------------------
+# keyframe queries (Map::getCloseKeyframes / getFurthestKeyframe / closest)
+# ---------------------------------------------------------------------------
+
+def kf_positions(kf: KeyframeStore) -> jnp.ndarray:
+    """World camera centers of all KF slots (K, 3): -R^T t."""
+    return -jnp.einsum("kji,kj->ki", kf.R, kf.t)
+
+
+def overlapping_kfs(kf: KeyframeStore, T_cur: SE3, cam) -> jnp.ndarray:
+    """Bool (K,): KF shares field of view with the current frame.
+
+    Reference semantics (map.cpp:106-127 via Frame::check/setKeyPoints):
+    a KF overlaps if any of its 5 key features' 3D points projects into
+    the current frame.
+    """
+    kp_ref = kf.kp5_dir * kf.kp5_depth[..., None]            # (K, 5, 3)
+    T_w_kf = SE3(kf.R, kf.t).inverse()
+    p_w = T_w_kf.apply(jnp.moveaxis(kp_ref, 1, 0))           # (5, K, 3)
+    p_cur = T_cur.apply(p_w)                                  # (5, K, 3)
+    px = cam.world2cam(p_cur)
+    vis = cam.is_in_frame(px) & (p_cur[..., 2] > 0.0)         # (5, K)
+    vis = vis & jnp.moveaxis(kf.kp5_valid, 1, 0)
+    return jnp.any(vis, axis=0) & kf.active
+
+
+def furthest_kf(kf: KeyframeStore, pos_w: jnp.ndarray) -> jnp.ndarray:
+    d = jnp.linalg.norm(kf_positions(kf) - pos_w, axis=-1)
+    d = jnp.where(kf.active, d, -jnp.inf)
+    return jnp.argmax(d).astype(jnp.int32)
+
+
+def closest_kf(kf: KeyframeStore, pos_w: jnp.ndarray,
+               exclude_frame_id: jnp.ndarray | None = None) -> jnp.ndarray:
+    d = jnp.linalg.norm(kf_positions(kf) - pos_w, axis=-1)
+    mask = kf.active
+    if exclude_frame_id is not None:
+        mask = mask & (kf.frame_id != exclude_frame_id)
+    d = jnp.where(mask, d, jnp.inf)
+    return jnp.argmax(-d).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# mutations
+# ---------------------------------------------------------------------------
+
+def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
+                 frame_id: jnp.ndarray,
+                 feat_px: jnp.ndarray, feat_f: jnp.ndarray,
+                 feat_level: jnp.ndarray, feat_point: jnp.ndarray,
+                 feat_valid: jnp.ndarray,
+                 feat_depth: jnp.ndarray) -> Tuple[MapState, jnp.ndarray]:
+    """Insert a keyframe into a free slot; returns (map, slot).
+
+    Also computes the 5 'key points' (center + 4 quadrant extremes of the
+    feature set, Frame::setKeyPoints semantics) used for overlap queries.
+    feat_depth: per-feature depth along the bearing (for key points).
+    """
+    kf = m.kf
+    slot = free_slots(kf.active, 1)[0]
+    ok = slot >= 0
+    s = jnp.where(ok, slot, 0)
+
+    # 5 key points: most central + 4 corner-most valid features
+    u = feat_px[:, 0]
+    v = feat_px[:, 1]
+    # use image center approx from feature cloud median
+    cu = jnp.nanmedian(jnp.where(feat_valid, u, jnp.nan))
+    cv = jnp.nanmedian(jnp.where(feat_valid, v, jnp.nan))
+    du = u - jnp.where(jnp.isnan(cu), 0.0, cu)
+    dv = v - jnp.where(jnp.isnan(cv), 0.0, cv)
+    scores = jnp.stack([
+        -(jnp.abs(du) + jnp.abs(dv)),      # most central
+        jnp.where((du >= 0) & (dv >= 0), du * dv, -jnp.inf),
+        jnp.where((du >= 0) & (dv < 0), -du * dv, -jnp.inf),
+        jnp.where((du < 0) & (dv < 0), du * dv, -jnp.inf),
+        jnp.where((du < 0) & (dv >= 0), -du * dv, -jnp.inf),
+    ])                                       # (5, F)
+    has_depth = feat_valid & jnp.isfinite(feat_depth) & (feat_depth > 0)
+    scores = jnp.where(has_depth[None, :], scores, -jnp.inf)
+    kp_idx = jnp.argmax(scores, axis=1)      # (5,)
+    kp_valid = jnp.isfinite(jnp.max(scores, axis=1))
+    kp_dir = feat_f[kp_idx]
+    kp_depth = feat_depth[kp_idx]
+
+    kf = kf._replace(
+        flat_pyr=kf.flat_pyr.at[s].set(
+            jnp.where(ok, flat_pyr, kf.flat_pyr[s])),
+        R=kf.R.at[s].set(jnp.where(ok, T_f_w.R, kf.R[s])),
+        t=kf.t.at[s].set(jnp.where(ok, T_f_w.t, kf.t[s])),
+        frame_id=kf.frame_id.at[s].set(
+            jnp.where(ok, frame_id, kf.frame_id[s])),
+        active=kf.active.at[s].set(jnp.where(ok, True, kf.active[s])),
+        feat_px=kf.feat_px.at[s].set(
+            jnp.where(ok, feat_px, kf.feat_px[s])),
+        feat_f=kf.feat_f.at[s].set(jnp.where(ok, feat_f, kf.feat_f[s])),
+        feat_level=kf.feat_level.at[s].set(
+            jnp.where(ok, feat_level, kf.feat_level[s])),
+        feat_point=kf.feat_point.at[s].set(
+            jnp.where(ok, feat_point, kf.feat_point[s])),
+        feat_valid=kf.feat_valid.at[s].set(
+            jnp.where(ok, feat_valid, kf.feat_valid[s])),
+        kp5_dir=kf.kp5_dir.at[s].set(jnp.where(ok, kp_dir, kf.kp5_dir[s])),
+        kp5_depth=kf.kp5_depth.at[s].set(
+            jnp.where(ok, kp_depth, kf.kp5_depth[s])),
+        kp5_valid=kf.kp5_valid.at[s].set(
+            jnp.where(ok, kp_valid, kf.kp5_valid[s])),
+    )
+    return m._replace(kf=kf), slot
+
+
+def alloc_points(pt: PointStore, pos: jnp.ndarray, ptype_val: int,
+                 orig_kf: jnp.ndarray, orig_px: jnp.ndarray,
+                 orig_f: jnp.ndarray, orig_level: jnp.ndarray,
+                 valid: jnp.ndarray) -> Tuple[PointStore, jnp.ndarray]:
+    """Allocate up to N new points into free pool slots; returns
+    (store, slot_ids (N,), -1 where not allocated or invalid)."""
+    N = valid.shape[0]
+    slots = free_slots(pt.active, N)
+    slots = jnp.where(valid, slots, -1)
+    ok = slots >= 0
+    s = jnp.where(ok, slots, 0)
+    M = pt.obs_kf.shape[1]
+    pt = pt._replace(
+        pos=alloc_scatter(pt.pos, slots, pos),
+        ptype=alloc_scatter(pt.ptype, slots,
+                            jnp.full((N,), ptype_val, jnp.int32)),
+        n_succ=alloc_scatter(pt.n_succ, slots, jnp.zeros((N,), jnp.int32)),
+        n_fail=alloc_scatter(pt.n_fail, slots, jnp.zeros((N,), jnp.int32)),
+        last_optim=alloc_scatter(pt.last_optim, slots,
+                                 jnp.zeros((N,), jnp.int32)),
+        obs_valid=pt.obs_valid.at[s].set(
+            jnp.where(ok[:, None], False, pt.obs_valid[s])),
+        orig_kf=alloc_scatter(pt.orig_kf, slots, orig_kf),
+        orig_px=alloc_scatter(pt.orig_px, slots, orig_px),
+        orig_f=alloc_scatter(pt.orig_f, slots, orig_f),
+        orig_level=alloc_scatter(pt.orig_level, slots, orig_level),
+    )
+    return pt, slots
+
+
+def add_point_observations(pt: PointStore, point_ids: jnp.ndarray,
+                           kf_slot: jnp.ndarray, feat_idx: jnp.ndarray,
+                           valid: jnp.ndarray) -> PointStore:
+    """Append (kf_slot, feat_idx) observations to points (Point::addFrameRef).
+
+    point_ids (N,), feat_idx (N,), valid (N,).  Each point gets at most one
+    new observation here (one feature per point per keyframe).  The slot is
+    the first free obs slot; when full, the OLDEST slot is overwritten
+    (ring semantics — the reference list grows unboundedly, we cap).
+    """
+    N = point_ids.shape[0]
+    ok = valid & (point_ids >= 0)
+    pid = jnp.where(ok, point_ids, 0)
+    # first free slot per point
+    free = ~pt.obs_valid[pid]                        # (N, M)
+    M = free.shape[1]
+    slot = jnp.argmax(free, axis=1)                  # first True, or 0
+    has_free = jnp.any(free, axis=1)
+    # ring overwrite when full: use (n_succ) as a rotating pointer
+    slot = jnp.where(has_free, slot, pt.n_succ[pid] % M)
+    pt = pt._replace(
+        obs_kf=pt.obs_kf.at[pid, slot].set(
+            jnp.where(ok, kf_slot, pt.obs_kf[pid, slot])),
+        obs_feat=pt.obs_feat.at[pid, slot].set(
+            jnp.where(ok, feat_idx, pt.obs_feat[pid, slot])),
+        obs_valid=pt.obs_valid.at[pid, slot].set(
+            jnp.where(ok, True, pt.obs_valid[pid, slot])),
+    )
+    return pt
+
+
+def delete_keyframe(m: MapState, slot: jnp.ndarray) -> MapState:
+    """Map::safeDeleteFrame semantics: deactivate the KF, remove point
+    observations referencing it, delete points left with < 2 observations
+    (removePtFrameRef, map.cpp:79-99), kill seeds originating from it."""
+    kf = m.kf
+    ok = slot >= 0
+    s = jnp.where(ok, slot, 0)
+    kf = kf._replace(
+        active=kf.active.at[s].set(jnp.where(ok, False, kf.active[s])),
+        frame_id=kf.frame_id.at[s].set(
+            jnp.where(ok, -1, kf.frame_id[s])),
+        feat_valid=kf.feat_valid.at[s].set(
+            jnp.where(ok, jnp.zeros_like(kf.feat_valid[s]),
+                      kf.feat_valid[s])),
+    )
+    pt = m.pt
+    hit = pt.obs_valid & (pt.obs_kf == slot) & ok
+    obs_valid = pt.obs_valid & ~hit
+    n_obs = jnp.sum(obs_valid, axis=-1)
+    # affected points (UNKNOWN/GOOD) die when left below 2 refs
+    starved = (n_obs < 2) & (pt.ptype >= TYPE_UNKNOWN) \
+        & jnp.any(hit, axis=-1)
+    # candidates whose origin observation was on this KF die too
+    # (MapPointCandidates::removeFrameCandidates semantics)
+    cand_dead = (pt.ptype == TYPE_CANDIDATE) & (pt.orig_kf == slot) & ok
+    ptype = jnp.where(starved | cand_dead, TYPE_DELETED, pt.ptype)
+    pt = pt._replace(obs_valid=obs_valid, ptype=ptype)
+    seed = m.seed
+    seed = seed._replace(active=seed.active & ~((seed.kf_slot == slot) & ok))
+    return m._replace(kf=kf, pt=pt, seed=seed)
+
+
+def n_active_kfs(m: MapState) -> jnp.ndarray:
+    return jnp.sum(m.kf.active)

@@ -1,0 +1,420 @@
+"""The VO pipeline driver: stage machine + per-frame device programs.
+
+TPU-native equivalent of FrameHandlerMono / FrameHandlerBase
+(svo/src/frame_handler_mono.cpp, frame_handler_base.cpp).  The per-frame
+sequential control (stages, keyframe policy, failure handling,
+relocalization) runs in host Python exactly mirroring the reference's
+state machine; all array math inside each stage is jitted.  The
+reference's tracking/mapping thread split becomes synchronous batched
+seed updates (the mapping work is one device program, so there is nothing
+to hide on a second CPU thread).
+
+Stages (frame_handler_base.h:45-51): PAUSED, FIRST_FRAME, SECOND_FRAME,
+DEFAULT_FRAME, RELOCALIZING.  Tracking quality (frame_handler_base.cpp:
+157-171): INSUFFICIENT when matches < quality_min_fts, BAD when the
+match count dropped by more than quality_max_drop_fts.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rpg_svo_tpu.config import Config
+from rpg_svo_tpu.geometry.se3 import SE3
+from rpg_svo_tpu.ops.pyramid import pyramid_shapes
+from rpg_svo_tpu.ops.detector import grid_dims, detect_features, cell_index
+from rpg_svo_tpu.ops.sparse_align import sparse_img_align
+from rpg_svo_tpu.ops.pose_opt import optimize_pose
+from rpg_svo_tpu.ops.point_opt import optimize_points
+from rpg_svo_tpu.core.frame import FrameState, make_frame, scene_depth
+from rpg_svo_tpu.core import map as svomap
+from rpg_svo_tpu.core.map import MapState, TYPE_UNKNOWN, TYPE_CANDIDATE
+from rpg_svo_tpu.core.reprojector import reproject_map
+from rpg_svo_tpu.core import depth_filter as df
+
+# stages
+STAGE_PAUSED = "paused"
+STAGE_FIRST_FRAME = "first"
+STAGE_SECOND_FRAME = "second"
+STAGE_DEFAULT_FRAME = "default"
+STAGE_RELOCALIZING = "relocalizing"
+
+# results
+RESULT_NO_KEYFRAME = "no_keyframe"
+RESULT_IS_KEYFRAME = "keyframe"
+RESULT_FAILURE = "failure"
+
+QUALITY_GOOD = "good"
+QUALITY_BAD = "bad"
+QUALITY_INSUFFICIENT = "insufficient"
+
+
+@functools.partial(jax.jit, static_argnames=("n_opt", "n_iter"))
+def _structure_opt(m: MapState, frame: FrameState, n_opt: int,
+                   n_iter: int) -> MapState:
+    """optimizeStructure (frame_handler_base.cpp:178-196): refine the
+    n_opt longest-unoptimized points observed in this frame."""
+    pt = m.pt
+    pid = frame.feat_point
+    ok = frame.feat_valid & (pid >= 0)
+    pid_safe = jnp.clip(pid, 0, pt.pos.shape[0] - 1)
+    age = jnp.where(ok, pt.last_optim[pid_safe], jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(age)[:n_opt]
+    sel = pid_safe[order]
+    sel_ok = ok[order]
+
+    M = pt.obs_kf.shape[1]
+    obs_kf = pt.obs_kf[sel]
+    obs_feat = pt.obs_feat[sel]
+    obs_ok = pt.obs_valid[sel]
+    kfs = jnp.clip(obs_kf, 0, m.kf.R.shape[0] - 1)
+    fts = jnp.clip(obs_feat, 0, m.kf.feat_f.shape[1] - 1)
+    obs_R = m.kf.R[kfs]
+    obs_t = m.kf.t[kfs]
+    obs_f = m.kf.feat_f[kfs, fts]
+    # origin observation as an extra column
+    okf = jnp.clip(pt.orig_kf[sel], 0, m.kf.R.shape[0] - 1)
+    obs_R = jnp.concatenate([obs_R, m.kf.R[okf][:, None]], axis=1)
+    obs_t = jnp.concatenate([obs_t, m.kf.t[okf][:, None]], axis=1)
+    obs_f = jnp.concatenate([obs_f, pt.orig_f[sel][:, None]], axis=1)
+    obs_ok = jnp.concatenate(
+        [obs_ok, (pt.orig_kf[sel] >= 0)[:, None]], axis=1)
+
+    n_obs = jnp.sum(obs_ok, axis=1)
+    can_opt = sel_ok & (n_obs >= 2)
+    p_new, _ = optimize_points(pt.pos[sel], obs_R, obs_t, obs_f, obs_ok,
+                               can_opt, n_iter=n_iter)
+    pos = pt.pos.at[sel].set(
+        jnp.where(can_opt[:, None], p_new, pt.pos[sel]))
+    last_optim = pt.last_optim.at[sel].set(
+        jnp.where(can_opt, frame.frame_id, pt.last_optim[sel]))
+    return m._replace(pt=pt._replace(pos=pos, last_optim=last_optim))
+
+
+@jax.jit
+def _kf_policy(m: MapState, T_cur: SE3, cam, depth_mean: jnp.ndarray,
+               kfselect_mindist: float):
+    """needNewKf (frame_handler_mono.cpp:304-315): new KF unless some
+    overlapping keyframe is within the weighted relative-distance box."""
+    overlap = svomap.overlapping_kfs(m.kf, T_cur, cam)
+    relpos = T_cur.apply(svomap.kf_positions(m.kf))
+    close = (jnp.abs(relpos[:, 0]) / depth_mean < kfselect_mindist) \
+        & (jnp.abs(relpos[:, 1]) / depth_mean < kfselect_mindist * 0.8) \
+        & (jnp.abs(relpos[:, 2]) / depth_mean < kfselect_mindist * 1.3)
+    return ~jnp.any(overlap & close), overlap
+
+
+class FrameHandler:
+    """Host-side pipeline driver (FrameHandlerMono equivalent)."""
+
+    def __init__(self, cam, cfg: Config = Config(),
+                 img_shape=(480, 752)):
+        self.cam = cam
+        self.cfg = cfg
+        self.img_shape = img_shape
+        self.n_levels = cfg.n_levels_total
+        shapes = pyramid_shapes(img_shape, self.n_levels)
+        self.flat_len = sum(h * w for h, w in shapes)
+        self.ncx, self.ncy = grid_dims(img_shape[1], img_shape[0],
+                                       cfg.grid_size)
+        self.n_cells = self.ncx * self.ncy
+        self.map = svomap.init_map(
+            n_kfs=cfg.max_kfs_pool, n_feats=self.n_cells,
+            n_points=cfg.max_points, n_obs=cfg.max_obs_per_point,
+            n_seeds=cfg.max_seeds, flat_len=self.flat_len)
+        self.stage = STAGE_PAUSED
+        self.quality = QUALITY_GOOD
+        self.last_frame: Optional[FrameState] = None
+        self.next_id = 0
+        self.num_obs_last = 0
+        self.log = []          # per-frame trace dicts (SVO_TRACE schema)
+        self.set_start()
+
+    # -- control (frame_handler_base.h start/reset semantics) ----------
+    def set_start(self):
+        self.stage = STAGE_FIRST_FRAME
+
+    def reset(self):
+        self.map = svomap.init_map(
+            n_kfs=self.cfg.max_kfs_pool, n_feats=self.n_cells,
+            n_points=self.cfg.max_points, n_obs=self.cfg.max_obs_per_point,
+            n_seeds=self.cfg.max_seeds, flat_len=self.flat_len)
+        self.stage = STAGE_FIRST_FRAME
+        self.last_frame = None
+        self.num_obs_last = 0
+
+    # -- benchmark seeding (BenchmarkNode/setFirstFrame semantics) ------
+    def set_first_frame_with_depth(self, img, T_f_w: SE3, depth_map,
+                                   timestamp: float = 0.0):
+        """Seed the map from a ground-truth depth map on the first frame,
+        like the blender benchmark (benchmark_node.cpp:216-234): detect
+        corners, create GOOD points at GT depth, make the frame a keyframe.
+        """
+        frame = make_frame(img, self.n_levels, self.n_cells,
+                           self.next_id, timestamp, T_f_w)
+        self.next_id += 1
+        det = detect_features(frame.pyr, jnp.zeros((self.n_cells,), bool),
+                              self.cfg.grid_size)
+        px = det["px"]
+        good = det["valid"]
+        f = self.cam.cam2world(px)
+        xi = jnp.clip(px[:, 0].astype(jnp.int32), 0, self.img_shape[1] - 1)
+        yi = jnp.clip(px[:, 1].astype(jnp.int32), 0, self.img_shape[0] - 1)
+        d = depth_map[yi, xi]
+        good = good & jnp.isfinite(d) & (d > 0)
+        p_w = T_f_w.inverse().apply(f * d[:, None])
+
+        # keyframe slot first (points need its slot id)
+        m, slot = svomap.add_keyframe(
+            self.map, frame.flat.flat, T_f_w, frame.frame_id,
+            px, f, det["level"], jnp.full((self.n_cells,), -1, jnp.int32),
+            good, d)
+        pt, ids = svomap.alloc_points(
+            m.pt, p_w, svomap.TYPE_GOOD,
+            jnp.full((self.n_cells,), slot, jnp.int32), px, f,
+            det["level"], good)
+        pt = svomap.add_point_observations(
+            pt, ids, jnp.full((self.n_cells,), slot, jnp.int32),
+            jnp.arange(self.n_cells, dtype=jnp.int32), good)
+        kf = m.kf._replace(feat_point=m.kf.feat_point.at[slot].set(
+            jnp.where(good, ids, -1)))
+        self.map = m._replace(pt=pt, kf=kf)
+
+        frame = frame._replace(feat_px=px, feat_f=f,
+                               feat_level=det["level"],
+                               feat_point=jnp.where(good, ids, -1),
+                               feat_valid=good)
+        # init depth-filter seeds on the remaining cells
+        depth_mean, depth_min = scene_depth(frame, self.map.pt.pos)
+        self.map = df.init_seeds(
+            self.map, slot, frame.pyr, self.cam, good,
+            depth_mean, 0.5 * depth_min, cell_size=self.cfg.grid_size,
+            min_score=self.cfg.triang_min_corner_score)
+        self.last_frame = frame
+        self.num_obs_last = int(jnp.sum(good))
+        self.stage = STAGE_DEFAULT_FRAME
+        return frame
+
+    # -- main entry ------------------------------------------------------
+    def add_image(self, img, timestamp: float = 0.0):
+        t0 = time.perf_counter()
+        frame = make_frame(img, self.n_levels, self.n_cells,
+                           self.next_id, timestamp)
+        self.next_id += 1
+        info = {"frame_id": int(frame.frame_id), "timestamp": timestamp,
+                "stage": self.stage}
+        if self.stage == STAGE_DEFAULT_FRAME:
+            res, frame, info = self._process_frame(frame, info)
+        elif self.stage == STAGE_RELOCALIZING:
+            res, frame, info = self._relocalize(frame, info)
+        else:
+            raise RuntimeError(
+                "two-view initialization not wired yet: call "
+                "set_first_frame_with_depth or use the initializer")
+        if res == RESULT_FAILURE:
+            if self.stage == STAGE_DEFAULT_FRAME:
+                self.stage = STAGE_RELOCALIZING
+        self.last_frame = frame
+        info["result"] = res
+        info["proc_time"] = time.perf_counter() - t0
+        self.log.append(info)
+        return info
+
+    # -- the tracking stages ----------------------------------------------
+    def _track(self, frame: FrameState, info):
+        """Sparse alignment + reprojection + pose refine. Returns
+        (n_matches, n_edges, frame) with frame pose updated."""
+        cfg = self.cfg
+        last = self.last_frame
+        # feature depths in the last frame from their points
+        pid = jnp.clip(last.feat_point, 0, self.map.pt.pos.shape[0] - 1)
+        p_last = last.T_f_w.apply(self.map.pt.pos[pid])
+        depth = jnp.linalg.norm(p_last, axis=-1)
+        fvalid = last.feat_valid & (last.feat_point >= 0) \
+            & (self.map.pt.ptype[pid] != svomap.TYPE_DELETED)
+        align = sparse_img_align(
+            last.pyr, frame.pyr, self.cam, SE3.identity(),
+            last.feat_px, last.feat_f, depth, fvalid,
+            max_level=cfg.klt_max_level, min_level=cfg.klt_min_level,
+            n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps)
+        T_cur = align.T_cur_ref * last.T_f_w
+        frame = frame.with_pose(T_cur)
+        info["img_align_n_tracked"] = int(align.n_tracked)
+
+        # reprojection
+        pt, rep = reproject_map(
+            self.map, frame.flat, T_cur, self.cam,
+            cfg.grid_size, self.ncx, self.ncy,
+            max_level=self.n_levels - 1)
+        self.map = self.map._replace(pt=pt)
+        info["repr_n_mps"] = int(rep.n_trials)
+        info["repr_n_new_references"] = int(rep.n_matches)
+        n_matches = int(rep.n_matches)
+        feat_f = self.cam.cam2world(rep.feat_px)
+        frame = frame._replace(
+            feat_px=rep.feat_px, feat_f=feat_f,
+            feat_level=rep.feat_level, feat_point=rep.feat_point,
+            feat_valid=rep.feat_valid)
+        if n_matches < cfg.quality_min_fts:
+            return n_matches, 0, frame
+
+        # pose optimization
+        pid = jnp.clip(frame.feat_point, 0, self.map.pt.pos.shape[0] - 1)
+        pres = optimize_pose(
+            frame.T_f_w, self.map.pt.pos[pid], frame.feat_f,
+            frame.feat_level, frame.feat_valid, self.cam.fx,
+            reproj_thresh=cfg.poseoptim_thresh,
+            n_iter=cfg.poseoptim_num_iter)
+        frame = frame.with_pose(pres.T_f_w)
+        frame = frame._replace(feat_valid=pres.inliers)
+        info["sfba_thresh"] = float(pres.estimated_scale)
+        info["sfba_error_init"] = float(pres.error_init)
+        info["sfba_error_final"] = float(pres.error_final)
+        info["sfba_n_edges_final"] = int(pres.n_obs)
+        return n_matches, int(pres.n_obs), frame
+
+    def _process_frame(self, frame: FrameState, info):
+        cfg = self.cfg
+        last = self.last_frame
+        n_matches, n_edges, frame = self._track(frame, info)
+
+        if n_matches < cfg.quality_min_fts:
+            frame = frame.with_pose(last.T_f_w)   # avoid crazy pose jumps
+            self.quality = QUALITY_INSUFFICIENT
+            return RESULT_FAILURE, frame, info
+        if n_edges < 20:
+            return RESULT_FAILURE, frame, info
+
+        # structure optimization
+        self.map = _structure_opt(self.map, frame,
+                                  cfg.structureoptim_max_pts,
+                                  cfg.structureoptim_num_iter)
+
+        # tracking quality
+        self._set_quality(n_edges)
+        if self.quality == QUALITY_INSUFFICIENT:
+            frame = frame.with_pose(last.T_f_w)
+            return RESULT_FAILURE, frame, info
+        self.num_obs_last = n_edges
+
+        depth_mean, depth_min = scene_depth(frame, self.map.pt.pos)
+        need_kf, _ = _kf_policy(self.map, frame.T_f_w, self.cam,
+                                depth_mean, cfg.kfselect_mindist)
+        if (not bool(need_kf)) or self.quality == QUALITY_BAD:
+            self.map, stats = df.update_seeds(
+                self.map, frame.flat, frame.T_f_w, self.cam,
+                max_n_kfs=cfg.df_max_kf_age,
+                conv_thresh=cfg.seed_convergence_sigma2_thresh,
+                max_steps=cfg.epi_max_steps)
+            info["n_seeds"] = int(stats.n_seeds)
+            return RESULT_NO_KEYFRAME, frame, info
+
+        # ------- new keyframe -------
+        info["is_keyframe"] = True
+        m, slot = svomap.add_keyframe(
+            self.map, frame.flat.flat, frame.T_f_w, frame.frame_id,
+            frame.feat_px, frame.feat_f, frame.feat_level,
+            frame.feat_point, frame.feat_valid,
+            jnp.linalg.norm(frame.T_f_w.apply(
+                self.map.pt.pos[jnp.clip(frame.feat_point, 0,
+                                         self.map.pt.pos.shape[0] - 1)]),
+                axis=-1))
+        # point->addFrameRef for all matched features; promote candidates
+        pt = svomap.add_point_observations(
+            m.pt, frame.feat_point,
+            jnp.full((self.n_cells,), slot, jnp.int32),
+            jnp.arange(self.n_cells, dtype=jnp.int32), frame.feat_valid)
+        pid = jnp.clip(frame.feat_point, 0, pt.pos.shape[0] - 1)
+        hit = jnp.zeros(pt.ptype.shape, bool).at[pid].set(
+            frame.feat_valid & (frame.feat_point >= 0))
+        ptype = jnp.where(hit & (pt.ptype == TYPE_CANDIDATE),
+                          TYPE_UNKNOWN, pt.ptype)
+        self.map = m._replace(pt=pt._replace(ptype=ptype))
+
+        # seeds: update against the KF, then init new ones
+        self.map, stats = df.update_seeds(
+            self.map, frame.flat, frame.T_f_w, self.cam,
+            max_n_kfs=cfg.df_max_kf_age,
+            conv_thresh=cfg.seed_convergence_sigma2_thresh,
+            max_steps=cfg.epi_max_steps)
+        occupied = jnp.zeros((self.n_cells,), bool).at[
+            cell_index(frame.feat_px, cfg.grid_size, self.ncx,
+                       self.ncy)].max(frame.feat_valid)
+        self.map = df.init_seeds(
+            self.map, slot, frame.pyr, self.cam, occupied,
+            depth_mean, 0.5 * depth_min, cell_size=cfg.grid_size,
+            min_score=cfg.triang_min_corner_score)
+        info["n_seeds"] = int(jnp.sum(self.map.seed.active))
+
+        # cap the map size (drop the furthest keyframe)
+        if cfg.max_n_kfs > 2 and \
+                int(svomap.n_active_kfs(self.map)) >= cfg.max_n_kfs:
+            far = svomap.furthest_kf(self.map.kf,
+                                     frame.T_f_w.inverse().t)
+            # never drop the KF we just added
+            if int(far) != int(slot):
+                self.map = svomap.delete_keyframe(self.map, far)
+        return RESULT_IS_KEYFRAME, frame, info
+
+    def _relocalize(self, frame: FrameState, info):
+        """relocalizeFrame (frame_handler_mono.cpp:237-265): align against
+        the closest keyframe; on success continue tracking from it."""
+        ref_slot = svomap.closest_kf(
+            self.map.kf, self.last_frame.T_f_w.inverse().t)
+        if int(self.map.kf.active[ref_slot]) == 0:
+            return RESULT_FAILURE, frame, info
+        kf = self.map.kf
+        # synthesize a FrameState view of the keyframe
+        pid = jnp.clip(kf.feat_point[ref_slot], 0,
+                       self.map.pt.pos.shape[0] - 1)
+        T_kf = SE3(kf.R[ref_slot], kf.t[ref_slot])
+        depth = jnp.linalg.norm(T_kf.apply(self.map.pt.pos[pid]), axis=-1)
+        fvalid = kf.feat_valid[ref_slot] & (kf.feat_point[ref_slot] >= 0)
+        # rebuild the KF pyramid from its flat buffer
+        shapes = pyramid_shapes(self.img_shape, self.n_levels)
+        flat = kf.flat_pyr[ref_slot]
+        pyr = []
+        off = 0
+        for h, w in shapes:
+            pyr.append(flat[off:off + h * w].reshape(h, w))
+            off += h * w
+        align = sparse_img_align(
+            tuple(pyr), frame.pyr, self.cam, SE3.identity(),
+            kf.feat_px[ref_slot], kf.feat_f[ref_slot], depth, fvalid,
+            max_level=self.cfg.klt_max_level,
+            min_level=self.cfg.klt_min_level)
+        if int(align.n_tracked) > 30:
+            T_last_saved = self.last_frame.T_f_w
+            # continue the normal pipeline with the KF as "last frame"
+            kf_frame = FrameState(
+                pyr=tuple(pyr), flat=frame.flat,  # flat unused for last
+                R=kf.R[ref_slot], t=kf.t[ref_slot],
+                frame_id=kf.frame_id[ref_slot],
+                timestamp=frame.timestamp,
+                feat_px=kf.feat_px[ref_slot], feat_f=kf.feat_f[ref_slot],
+                feat_level=kf.feat_level[ref_slot],
+                feat_point=kf.feat_point[ref_slot],
+                feat_valid=fvalid)
+            saved_last = self.last_frame
+            self.last_frame = kf_frame
+            res, frame, info = self._process_frame(frame, info)
+            if res != RESULT_FAILURE:
+                self.stage = STAGE_DEFAULT_FRAME
+            else:
+                frame = frame.with_pose(T_last_saved)
+                self.last_frame = saved_last
+            return res, frame, info
+        return RESULT_FAILURE, frame, info
+
+    def _set_quality(self, num_obs: int):
+        self.quality = QUALITY_GOOD
+        if num_obs < self.cfg.quality_min_fts:
+            self.quality = QUALITY_INSUFFICIENT
+        if self.num_obs_last - num_obs > self.cfg.quality_max_drop_fts:
+            self.quality = QUALITY_BAD

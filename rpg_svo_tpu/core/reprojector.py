@@ -1,0 +1,163 @@
+"""Map reprojection: project points into the frame, match one per cell.
+
+TPU-native equivalent of Reprojector (svo/src/reprojector.cpp:40-220).
+Reference behavior reproduced with batched semantics:
+
+- every map point (incl. depth-filter candidates) projects into the frame;
+  out-of-frame candidate projections cost n_fail += 3, > 30 deletes the
+  candidate (reprojector.cpp:107-127);
+- grid cells of `grid_size` px each try ONE point, preferring
+  GOOD > UNKNOWN > CANDIDATE (pointQualityComparator, :146-149) — selection
+  here is a segment-max over cell ids instead of per-cell sorted lists;
+- the reference feature-aligns cell-by-cell in shuffled order and stops at
+  max_fts matches; here ALL selected cells align in one batched
+  find_match_direct (matches are capped only by the cell count — on TPU the
+  extra matches are ~free and only help accuracy);
+- match bookkeeping: n_succ/n_fail counters, UNKNOWN deleted at
+  n_fail > 15, CANDIDATE at > 30, UNKNOWN promoted to GOOD at
+  n_succ > 10 (:129-180);
+- the reference observation for warping is the point's closest-view
+  observation (Point::getCloseViewObs, 60 deg cutoff) with the seed origin
+  observation as fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rpg_svo_tpu.geometry.se3 import SE3
+from rpg_svo_tpu.ops.interp import FlatPyramid, BoundPyramidPool
+from rpg_svo_tpu.ops.matcher import find_match_direct
+from rpg_svo_tpu.core.map import (
+    MapState, TYPE_DELETED, TYPE_CANDIDATE, TYPE_UNKNOWN, TYPE_GOOD,
+    kf_positions,
+)
+
+
+class ReprojectResult(NamedTuple):
+    # frame feature table, one slot per grid cell
+    feat_px: jnp.ndarray       # (C, 2) matched level-0 px
+    feat_level: jnp.ndarray    # (C,)
+    feat_point: jnp.ndarray    # (C,) point id
+    feat_valid: jnp.ndarray    # (C,) match success
+    n_matches: jnp.ndarray     # scalar
+    n_trials: jnp.ndarray      # scalar
+
+
+@functools.partial(jax.jit, static_argnames=("grid_size", "ncx", "ncy",
+                                             "max_level"))
+def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
+                  grid_size: int, ncx: int, ncy: int,
+                  max_level: int = 4):
+    """Returns (PointStore with updated counters/types, ReprojectResult)."""
+    pt = m.pt
+    P = pt.pos.shape[0]
+    C = ncx * ncy
+
+    # ---- project all points -------------------------------------------
+    p_cur = T_cur.apply(pt.pos)
+    px = cam.world2cam(p_cur)
+    visible = pt.active & (p_cur[..., 2] > 0.0) \
+        & cam.is_in_frame(px, boundary=8.0)
+
+    # candidates that fail to project: n_fail += 3, delete > 30
+    cand_miss = pt.active & (pt.ptype == TYPE_CANDIDATE) & ~visible
+    n_fail = pt.n_fail + jnp.where(cand_miss, 3, 0)
+    ptype = jnp.where((pt.ptype == TYPE_CANDIDATE) & (n_fail > 30),
+                      TYPE_DELETED, pt.ptype)
+    visible = visible & (ptype != TYPE_DELETED)
+
+    # ---- per-cell best point by quality --------------------------------
+    cx = jnp.clip((px[:, 0] // grid_size).astype(jnp.int32), 0, ncx - 1)
+    cy = jnp.clip((px[:, 1] // grid_size).astype(jnp.int32), 0, ncy - 1)
+    cell = cy * ncx + cx
+    comp = jnp.where(visible, ptype * P + jnp.arange(P, dtype=jnp.int32),
+                     -1)
+    best = jax.ops.segment_max(comp, cell, num_segments=C)
+    has = best >= 0
+    sel_pt = jnp.where(has, best % P, 0)            # (C,) selected point id
+
+    # ---- reference observation: closest view among obs + origin --------
+    sel_pos = pt.pos[sel_pt]                                   # (C, 3)
+    cam_pos_w = T_cur.inverse().t
+    dir_cur = sel_pos - cam_pos_w
+    dir_cur = dir_cur / jnp.maximum(
+        jnp.linalg.norm(dir_cur, axis=-1, keepdims=True), 1e-12)
+    obs_kf = pt.obs_kf[sel_pt]                                  # (C, M)
+    obs_feat = pt.obs_feat[sel_pt]
+    obs_ok = pt.obs_valid[sel_pt]
+    kf_pos = kf_positions(m.kf)                                 # (K, 3)
+    obs_kf_safe = jnp.clip(obs_kf, 0, kf_pos.shape[0] - 1)
+    dir_obs = sel_pos[:, None, :] - kf_pos[obs_kf_safe]         # (C, M, 3)
+    dir_obs = dir_obs / jnp.maximum(
+        jnp.linalg.norm(dir_obs, axis=-1, keepdims=True), 1e-12)
+    cosang = jnp.sum(dir_obs * dir_cur[:, None, :], axis=-1)
+    cosang = jnp.where(obs_ok, cosang, -jnp.inf)
+    # origin observation as an extra column
+    orig_kf = pt.orig_kf[sel_pt]
+    orig_ok = orig_kf >= 0
+    okf_safe = jnp.clip(orig_kf, 0, kf_pos.shape[0] - 1)
+    dir_orig = sel_pos - kf_pos[okf_safe]
+    dir_orig = dir_orig / jnp.maximum(
+        jnp.linalg.norm(dir_orig, axis=-1, keepdims=True), 1e-12)
+    cos_orig = jnp.where(orig_ok,
+                         jnp.sum(dir_orig * dir_cur, -1), -jnp.inf)
+    all_cos = jnp.concatenate([cosang, cos_orig[:, None]], axis=1)
+    best_obs = jnp.argmax(all_cos, axis=1)                      # (C,)
+    best_cos = jnp.max(all_cos, axis=1)
+    M = obs_kf.shape[1]
+    use_orig = best_obs == M
+    bo = jnp.clip(best_obs, 0, M - 1)
+    take = lambda a: jnp.take_along_axis(a, bo[:, None], axis=1)[:, 0]
+    ref_kf = jnp.where(use_orig, orig_kf, take(obs_kf))
+    ref_feat = take(obs_feat)
+    kf_safe = jnp.clip(ref_kf, 0, kf_pos.shape[0] - 1)
+    ft_safe = jnp.clip(ref_feat, 0, m.kf.feat_px.shape[1] - 1)
+    ref_px = jnp.where(use_orig[:, None], pt.orig_px[sel_pt],
+                       m.kf.feat_px[kf_safe, ft_safe])
+    ref_f = jnp.where(use_orig[:, None], pt.orig_f[sel_pt],
+                      m.kf.feat_f[kf_safe, ft_safe])
+    ref_level = jnp.where(use_orig, pt.orig_level[sel_pt],
+                          m.kf.feat_level[kf_safe, ft_safe])
+    # 60 deg cutoff (point.cpp:97-117)
+    view_ok = best_cos > 0.5
+    attempt = has & view_ok & (ref_kf >= 0)
+
+    # ---- batched direct matching ---------------------------------------
+    T_kf_w = SE3(m.kf.R[kf_safe], m.kf.t[kf_safe])
+    T_cur_ref = T_cur * T_kf_w.inverse()
+    p_ref = T_kf_w.apply(sel_pos)
+    depth_ref = jnp.linalg.norm(p_ref, axis=-1)
+    ref_pool = BoundPyramidPool(m.kf.flat_pyr, cur_pyr.shapes, kf_safe)
+    px_init = cam.world2cam(T_cur.apply(sel_pos))
+    match = find_match_direct(
+        cur_pyr, ref_pool, cam, T_cur_ref, ref_px, ref_f, ref_level,
+        depth_ref, px_init, attempt, max_level=max_level)
+    success = attempt & match.success \
+        & cam.is_in_frame(match.px_cur, boundary=2.0)
+
+    # ---- counters / promotions (scattered back to the point pool) ------
+    n_succ = pt.n_succ.at[sel_pt].add(jnp.where(success, 1, 0))
+    n_fail = n_fail.at[sel_pt].add(jnp.where(attempt & ~success, 1, 0))
+    ptype = jnp.where((ptype == TYPE_UNKNOWN) & (n_fail > 15),
+                      TYPE_DELETED, ptype)
+    ptype = jnp.where((ptype == TYPE_CANDIDATE) & (n_fail > 30),
+                      TYPE_DELETED, ptype)
+    ptype = jnp.where((ptype == TYPE_UNKNOWN) & (n_succ > 10),
+                      TYPE_GOOD, ptype)
+    success = success & (ptype[sel_pt] != TYPE_DELETED)
+
+    pt = pt._replace(n_succ=n_succ, n_fail=n_fail, ptype=ptype)
+    res = ReprojectResult(
+        feat_px=match.px_cur,
+        feat_level=match.level_cur,
+        feat_point=jnp.where(success, sel_pt, -1),
+        feat_valid=success,
+        n_matches=jnp.sum(success).astype(jnp.int32),
+        n_trials=jnp.sum(attempt).astype(jnp.int32),
+    )
+    return pt, res

@@ -122,12 +122,78 @@ class FlatPyramid:
         return jnp.where(valid, top * (1.0 - wy) + bot * wy, fill), valid
 
 
+class BoundPyramidPool:
+    """A (K, L) pool of flat pyramids (all sharing one level layout) bound
+    to a per-query pyramid index — e.g. each depth-filter seed sampling its
+    own origin keyframe's pyramid.  Exposes the same ``bilinear(level, xy)``
+    interface as FlatPyramid, so the matcher works against either.
+    """
+
+    def __init__(self, pool_flat, shapes, idx):
+        """pool_flat (K, L); shapes: FlatPyramid level shapes; idx (N,)."""
+        import numpy as _np
+        self.n_levels = len(shapes)
+        self.shapes = tuple(shapes)
+        offs = _np.cumsum([0] + [h * w for h, w in self.shapes])
+        self._offsets = jnp.asarray(offs[:-1], dtype=jnp.int32)
+        self._widths = jnp.asarray([w for _, w in self.shapes],
+                                   dtype=jnp.int32)
+        self._heights = jnp.asarray([h for h, _ in self.shapes],
+                                    dtype=jnp.int32)
+        self.pool = pool_flat
+        self.idx = idx
+
+    def tree_flatten(self):
+        return ((self.pool, self.idx, self._offsets, self._widths,
+                 self._heights), (self.n_levels, self.shapes))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.pool, obj.idx, obj._offsets, obj._widths,
+         obj._heights) = children
+        obj.n_levels, obj.shapes = aux
+        return obj
+
+    def bilinear(self, level: jnp.ndarray, xy: jnp.ndarray,
+                 fill: float = 0.0):
+        """xy (N, ..., 2); level broadcasts against xy batch dims; item i
+        samples pyramid self.idx[i] (clamped; callers mask idx < 0)."""
+        level = jnp.clip(level, 0, self.n_levels - 1)
+        W = self._widths[level]
+        H = self._heights[level]
+        base = self._offsets[level]
+        k = jnp.clip(self.idx, 0, self.pool.shape[0] - 1)
+        k = k.reshape(k.shape + (1,) * (xy.ndim - k.ndim - 1))
+        x, y = xy[..., 0], xy[..., 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = x - x0
+        wy = y - y0
+        valid = (x0 >= 0) & (y0 >= 0) & (x0 < (W - 1)) & (y0 < (H - 1))
+        xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+        yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+        idx = base + yi * W + xi
+        kb = jnp.broadcast_to(k, idx.shape)
+        i00 = self.pool[kb, idx]
+        i01 = self.pool[kb, idx + 1]
+        i10 = self.pool[kb, idx + W]
+        i11 = self.pool[kb, idx + W + 1]
+        top = i00 * (1.0 - wx) + i01 * wx
+        bot = i10 * (1.0 - wx) + i11 * wx
+        return jnp.where(valid, top * (1.0 - wy) + bot * wy, fill), valid
+
+
 import jax.tree_util as _jtu  # noqa: E402
 
 _jtu.register_pytree_node(
     FlatPyramid,
     lambda p: p.tree_flatten(),
     FlatPyramid.tree_unflatten)
+_jtu.register_pytree_node(
+    BoundPyramidPool,
+    lambda p: p.tree_flatten(),
+    BoundPyramidPool.tree_unflatten)
 
 
 def image_gradients(img: jnp.ndarray):

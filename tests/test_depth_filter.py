@@ -1,0 +1,107 @@
+"""Depth-filter tests (ref: svo/test/test_depth_filter.cpp — seeds on a
+first keyframe converge over GT-posed frames; depth error vs ground truth;
+reference golden values: 287 seeds, mean 0.080cm, p95 0.2cm on its dataset)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rpg_svo_tpu.core.map import init_map, add_keyframe, TYPE_CANDIDATE
+from rpg_svo_tpu.core import depth_filter as df
+from rpg_svo_tpu.ops.pyramid import build_pyramid, pyramid_shapes
+from rpg_svo_tpu.ops.interp import FlatPyramid
+from rpg_svo_tpu.ops.detector import grid_dims
+from rpg_svo_tpu.utils.synthetic import SyntheticDataset
+
+
+def make_empty_map(flat_len, n_seeds=2048, n_points=4096):
+    return init_map(n_kfs=8, n_feats=512, n_points=n_points, n_obs=8,
+                    n_seeds=n_seeds, flat_len=flat_len)
+
+
+def test_seed_update_math_converges_inverse_depth():
+    """Feeding consistent measurements must tighten sigma2 toward truth."""
+    mu = jnp.array([0.5])          # init inverse depth (true = 0.8)
+    sigma2 = jnp.array([(2.0 / 6) ** 2])
+    a = jnp.array([10.0])
+    b = jnp.array([10.0])
+    z_range = jnp.array([2.0])
+    tau2 = jnp.array([1e-4])
+    for _ in range(30):
+        mu, sigma2, a, b = df.seed_variance_update(
+            mu, sigma2, a, b, z_range, jnp.array([0.8]), tau2)
+    assert abs(float(mu[0]) - 0.8) < 0.01
+    assert float(sigma2[0]) < 1e-4
+    assert float(a[0]) > float(b[0])   # inlier evidence dominates
+
+
+def test_seed_update_outliers_increase_b():
+    mu = jnp.array([0.5])
+    sigma2 = jnp.array([(2.0 / 6) ** 2])
+    a = jnp.array([10.0])
+    b = jnp.array([10.0])
+    z_range = jnp.array([2.0])
+    # wildly inconsistent measurements
+    for x in [0.1, 1.9, 0.05, 1.5, 0.02]:
+        mu, sigma2, a, b = df.seed_variance_update(
+            mu, sigma2, a, b, z_range, jnp.array([x]), jnp.array([1e-4]))
+    assert float(b[0]) > 10.0      # outlier evidence grew
+
+
+def test_compute_tau_positive_and_shrinks_with_baseline():
+    f = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    z = jnp.array([2.0, 2.0])
+    t_small = jnp.array([[0.05, 0.0, 0.0], [0.3, 0.0, 0.0]])
+    angle = jnp.arctan(1.0 / (2 * 315.5)) * 2.0
+    tau = df.compute_tau(t_small, f, z, angle)
+    assert float(tau[0]) > 0
+    assert float(tau[1]) > 0
+    assert float(tau[1]) < float(tau[0])  # larger baseline -> less depth noise
+
+
+def test_depth_filter_end_to_end():
+    ds = SyntheticDataset(n_frames=21, trajectory="line", speed=0.018)
+    img0, depth0, T0 = ds.frame(0)
+    pyr0 = build_pyramid(img0, 5)
+    fp0 = FlatPyramid(pyr0)
+    m = make_empty_map(fp0.flat.shape[0])
+
+    # keyframe 0 with no features (seeds only)
+    F = m.kf.feat_px.shape[1]
+    m, slot = add_keyframe(
+        m, fp0.flat, T0.inverse(), jnp.int32(0),
+        jnp.zeros((F, 2)), jnp.tile(jnp.array([0.0, 0.0, 1.0]), (F, 1)),
+        jnp.zeros((F,), jnp.int32), jnp.full((F,), -1, jnp.int32),
+        jnp.zeros((F,), bool), jnp.ones((F,)))
+    assert int(slot) == 0
+
+    gt_mean = float(jnp.median(depth0))
+    gt_min = float(depth0.min())
+    ncx, ncy = grid_dims(752, 480, 25)
+    m = df.init_seeds(m, slot, pyr0, ds.cam,
+                      jnp.zeros((ncx * ncy,), bool),
+                      jnp.float32(gt_mean), jnp.float32(0.5 * gt_min),
+                      cell_size=25)
+    n_seeds0 = int(m.seed.active.sum())
+    assert n_seeds0 > 150, f"only {n_seeds0} seeds initialized"
+
+    for i in range(1, 21):
+        img, _, T = ds.frame(i)
+        fp = FlatPyramid(build_pyramid(img, 5))
+        m, stats = df.update_seeds(m, fp, T.inverse(), ds.cam)
+
+    conv = np.asarray(m.pt.ptype) == TYPE_CANDIDATE
+    n_conv = conv.sum()
+    assert n_conv > 0.6 * n_seeds0, f"{n_conv}/{n_seeds0} converged"
+
+    # depth accuracy of converged points: compare point depth in KF0 to GT
+    p_w = np.asarray(m.pt.pos)[conv]
+    T0i = T0.inverse()
+    p_kf = np.asarray(T0i.apply(jnp.asarray(p_w)))
+    d_est = np.linalg.norm(p_kf, axis=-1)
+    px = np.asarray(m.pt.orig_px)[conv]
+    d_gt = np.asarray(depth0)[px[:, 1].astype(int), px[:, 0].astype(int)]
+    rel = np.abs(d_est - d_gt) / d_gt
+    # reference golden: p50 ~0.04% of depth (0.062cm at ~1.5m)
+    assert np.median(rel) < 0.005, f"median rel depth err {np.median(rel)}"
+    assert np.percentile(rel, 80) < 0.02, np.percentile(rel, 80)
