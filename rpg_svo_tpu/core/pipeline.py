@@ -37,6 +37,7 @@ from rpg_svo_tpu.core import map as svomap
 from rpg_svo_tpu.core.map import MapState, TYPE_UNKNOWN, TYPE_CANDIDATE
 from rpg_svo_tpu.core.reprojector import reproject_map
 from rpg_svo_tpu.core import depth_filter as df
+from rpg_svo_tpu.core import initialization as init_mod
 
 # stages
 STAGE_PAUSED = "paused"
@@ -134,6 +135,8 @@ class FrameHandler:
         self.next_id = 0
         self.num_obs_last = 0
         self.log = []          # per-frame trace dicts (SVO_TRACE schema)
+        self.initializer = init_mod.KltHomographyInit(cam, cfg,
+                                                      self.n_cells)
         self.set_start()
 
     # -- control (frame_handler_base.h start/reset semantics) ----------
@@ -213,10 +216,12 @@ class FrameHandler:
             res, frame, info = self._process_frame(frame, info)
         elif self.stage == STAGE_RELOCALIZING:
             res, frame, info = self._relocalize(frame, info)
+        elif self.stage == STAGE_FIRST_FRAME:
+            res, frame, info = self._process_first_frame(frame, info)
+        elif self.stage == STAGE_SECOND_FRAME:
+            res, frame, info = self._process_second_frame(frame, info)
         else:
-            raise RuntimeError(
-                "two-view initialization not wired yet: call "
-                "set_first_frame_with_depth or use the initializer")
+            raise RuntimeError(f"stage {self.stage}")
         if res == RESULT_FAILURE:
             if self.stage == STAGE_DEFAULT_FRAME:
                 self.stage = STAGE_RELOCALIZING
@@ -225,6 +230,81 @@ class FrameHandler:
         info["proc_time"] = time.perf_counter() - t0
         self.log.append(info)
         return info
+
+    # -- bootstrap stages (processFirstFrame/processSecondFrame) ----------
+    def _process_first_frame(self, frame: FrameState, info):
+        frame = frame.with_pose(SE3.identity())
+        if self.initializer.add_first_frame(frame.pyr) != \
+                init_mod.RESULT_SUCCESS:
+            return RESULT_NO_KEYFRAME, frame, info
+        self._init_frame0 = frame
+        self.stage = STAGE_SECOND_FRAME
+        return RESULT_IS_KEYFRAME, frame, info
+
+    def _process_second_frame(self, frame: FrameState, info):
+        res, tv = self.initializer.add_second_frame(
+            frame.pyr, key=jax.random.PRNGKey(int(frame.frame_id)))
+        if res == init_mod.RESULT_FAILURE:
+            self.initializer.reset()
+            self.stage = STAGE_FIRST_FRAME
+            return RESULT_FAILURE, frame, info
+        if res == init_mod.RESULT_NO_KEYFRAME:
+            return RESULT_NO_KEYFRAME, frame, info
+
+        f0 = self._init_frame0
+        frame = frame.with_pose(tv.T_cur_ref)   # world = first camera frame
+        C = self.n_cells
+        lvl0 = jnp.zeros((C,), jnp.int32)
+
+        # keyframe 0 (world origin) with the inlier features
+        m, slot0 = svomap.add_keyframe(
+            self.map, f0.flat.flat, SE3.identity(), f0.frame_id,
+            tv.px_ref, tv.f_ref, lvl0,
+            jnp.full((C,), -1, jnp.int32), tv.inlier,
+            jnp.linalg.norm(tv.p_w, axis=-1))
+        # points: UNKNOWN quality, origin = KF0
+        pt, ids = svomap.alloc_points(
+            m.pt, tv.p_w, TYPE_UNKNOWN,
+            jnp.full((C,), slot0, jnp.int32), tv.px_ref, tv.f_ref,
+            lvl0, tv.inlier)
+        pt = svomap.add_point_observations(
+            pt, ids, jnp.full((C,), slot0, jnp.int32),
+            jnp.arange(C, dtype=jnp.int32), tv.inlier)
+        kf = m.kf._replace(feat_point=m.kf.feat_point.at[slot0].set(
+            jnp.where(tv.inlier, ids, -1)))
+        self.map = m._replace(pt=pt, kf=kf)
+
+        # keyframe 1 (current frame)
+        p_cur = tv.T_cur_ref.apply(tv.p_w)
+        depth1 = jnp.linalg.norm(p_cur, axis=-1)
+        m, slot1 = svomap.add_keyframe(
+            self.map, frame.flat.flat, tv.T_cur_ref, frame.frame_id,
+            tv.px_cur, tv.f_cur, lvl0, jnp.where(tv.inlier, ids, -1),
+            tv.inlier, depth1)
+        pt = svomap.add_point_observations(
+            m.pt, ids, jnp.full((C,), slot1, jnp.int32),
+            jnp.arange(C, dtype=jnp.int32), tv.inlier)
+        self.map = m._replace(pt=pt)
+
+        frame = frame._replace(
+            feat_px=tv.px_cur, feat_f=tv.f_cur, feat_level=lvl0,
+            feat_point=jnp.where(tv.inlier, ids, -1),
+            feat_valid=tv.inlier)
+
+        # depth-filter seeds on keyframe 1
+        depth_mean, depth_min = scene_depth(frame, self.map.pt.pos)
+        occupied = jnp.zeros((C,), bool).at[
+            cell_index(frame.feat_px, self.cfg.grid_size, self.ncx,
+                       self.ncy)].max(frame.feat_valid)
+        self.map = df.init_seeds(
+            self.map, slot1, frame.pyr, self.cam, occupied,
+            depth_mean, 0.5 * depth_min, cell_size=self.cfg.grid_size,
+            min_score=self.cfg.triang_min_corner_score)
+        self.num_obs_last = int(jnp.sum(tv.inlier))
+        self.initializer.reset()
+        self.stage = STAGE_DEFAULT_FRAME
+        info["init_inliers"] = int(tv.inlier.sum())
+        return RESULT_IS_KEYFRAME, frame, info
 
     # -- the tracking stages ----------------------------------------------
     def _track(self, frame: FrameState, info):

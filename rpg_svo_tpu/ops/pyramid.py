@@ -33,6 +33,29 @@ def build_pyramid(img: jnp.ndarray, n_levels: int) -> Tuple[jnp.ndarray, ...]:
     return tuple(levels)
 
 
+def binomial_blur(img: jnp.ndarray) -> jnp.ndarray:
+    """Separable 5-tap binomial ([1,4,6,4,1]/16) low-pass, edge-replicated.
+
+    Used to build antialiased pyramids for the LK tracker (OpenCV's
+    buildOpticalFlowPyramid equivalent); the box-average pyramid that the
+    VO kernels use (matching the reference's vk::halfSample) keeps more
+    high-frequency detail but aliases under large displacements.
+    """
+    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+    p = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
+    v = sum(k[i] * p[i: i + img.shape[0], :] for i in range(5))
+    p = jnp.pad(v, ((0, 0), (2, 2)), mode="edge")
+    return sum(k[i] * p[:, i: i + img.shape[1]] for i in range(5))
+
+
+def build_lk_pyramid(img: jnp.ndarray, n_levels: int) -> Tuple[jnp.ndarray, ...]:
+    """Antialiased pyramid for optical flow: blur, then 2x2 half-sample."""
+    levels = [img.astype(jnp.float32)]
+    for _ in range(n_levels - 1):
+        levels.append(half_sample(binomial_blur(levels[-1])))
+    return tuple(levels)
+
+
 def pyramid_shapes(shape: Tuple[int, int], n_levels: int) -> Sequence[Tuple[int, int]]:
     out = [shape]
     for _ in range(n_levels - 1):
