@@ -1,0 +1,301 @@
+"""Fully-fused VO step: the whole per-frame pipeline as ONE device program.
+
+The host-driven pipeline (core/pipeline.py) mirrors the reference's
+control flow with Python branching, which costs one host<->device
+round-trip per stage — fatal for throughput when the device is remote.
+This module compiles the ENTIRE per-frame update (pyramid, sparse
+alignment, reprojection+matching, pose and structure refinement, quality
+gates, keyframe policy, keyframe insertion, depth-filter update and seed
+initialization, map-size cap, relocalization) into a single jitted
+function with traced control flow:
+
+- failure/keyframe/relocalization decisions are lax.cond / masked scatters
+  (the reference's branches: frame_handler_mono.cpp:129-235, 237-265);
+- tracking N frames is a host loop of async one-dispatch steps, or one
+  lax.scan over an image stack (`vo_scan`) — zero host synchronization.
+
+State is a single pytree `VOState` carrying the map pools and the last
+frame, so the step is also the unit that vmaps across camera streams and
+shards across device meshes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rpg_svo_tpu.config import Config
+from rpg_svo_tpu.geometry.se3 import SE3
+from rpg_svo_tpu.ops.pyramid import build_pyramid, pyramid_shapes
+from rpg_svo_tpu.ops.detector import grid_dims, cell_index
+from rpg_svo_tpu.ops.sparse_align import sparse_img_align
+from rpg_svo_tpu.ops.pose_opt import optimize_pose
+from rpg_svo_tpu.ops.interp import FlatPyramid
+from rpg_svo_tpu.ops.robust import masked_median
+from rpg_svo_tpu.core import map as svomap
+from rpg_svo_tpu.core.map import MapState, TYPE_CANDIDATE, TYPE_UNKNOWN
+from rpg_svo_tpu.core.reprojector import reproject_map
+from rpg_svo_tpu.core import depth_filter as df
+
+STAGE_DEFAULT = 0
+STAGE_RELOC = 1
+
+
+class VOState(NamedTuple):
+    m: MapState
+    # last frame (arrays only)
+    pyr: Tuple[jnp.ndarray, ...]
+    R: jnp.ndarray
+    t: jnp.ndarray
+    frame_id: jnp.ndarray
+    feat_px: jnp.ndarray
+    feat_f: jnp.ndarray
+    feat_level: jnp.ndarray
+    feat_point: jnp.ndarray
+    feat_valid: jnp.ndarray
+    stage: jnp.ndarray          # int32 STAGE_*
+    num_obs_last: jnp.ndarray   # int32
+
+
+class StepOut(NamedTuple):
+    n_matches: jnp.ndarray
+    n_edges: jnp.ndarray
+    is_keyframe: jnp.ndarray
+    failed: jnp.ndarray
+    stage: jnp.ndarray
+    t_wc: jnp.ndarray           # (3,) camera position in world
+    q_flat: jnp.ndarray         # (9,) rotation flattened (T_f_w)
+
+
+def state_from_handler(fh) -> VOState:
+    """Build a VOState from a host FrameHandler (after bootstrap)."""
+    lf = fh.last_frame
+    return VOState(
+        m=fh.map, pyr=lf.pyr, R=lf.R, t=lf.t, frame_id=lf.frame_id,
+        feat_px=lf.feat_px, feat_f=lf.feat_f, feat_level=lf.feat_level,
+        feat_point=lf.feat_point, feat_valid=lf.feat_valid,
+        stage=jnp.int32(STAGE_DEFAULT),
+        num_obs_last=jnp.int32(fh.num_obs_last))
+
+
+def _kf_pyramid(m: MapState, slot: jnp.ndarray, shapes):
+    """Reshape a keyframe's flat pyramid buffer into level images."""
+    flat = m.kf.flat_pyr[slot]
+    out = []
+    off = 0
+    for h, w in shapes:
+        out.append(jax.lax.dynamic_slice(flat, (off,),
+                                         (h * w,)).reshape(h, w))
+        off += h * w
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ncx", "ncy",
+                                             "img_shape"))
+def vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
+            ncx: int, ncy: int,
+            img_shape: Tuple[int, int]) -> Tuple[VOState, StepOut]:
+    """One fused tracking+mapping step (DEFAULT or RELOCALIZING stage)."""
+    C = ncx * ncy
+    n_levels = cfg.n_levels_total
+    shapes = pyramid_shapes(img_shape, n_levels)
+    pyr = build_pyramid(img, n_levels)
+    flat = FlatPyramid(pyr)
+    m = state.m
+    P = m.pt.pos.shape[0]
+
+    reloc = state.stage == STAGE_RELOC
+    # --- choose alignment reference: last frame, or closest KF when
+    # relocalizing (frame_handler_mono.cpp:237-265)
+    kf_slot = svomap.closest_kf(m.kf, SE3(state.R, state.t).inverse().t)
+    kf_slot = jnp.maximum(kf_slot, 0)
+
+    def ref_from_kf(_):
+        kpyr = _kf_pyramid(m, kf_slot, shapes)
+        return (kpyr, m.kf.R[kf_slot], m.kf.t[kf_slot],
+                m.kf.feat_px[kf_slot], m.kf.feat_f[kf_slot],
+                m.kf.feat_point[kf_slot],
+                m.kf.feat_valid[kf_slot] & (m.kf.feat_point[kf_slot] >= 0))
+
+    def ref_from_last(_):
+        return (state.pyr, state.R, state.t, state.feat_px, state.feat_f,
+                state.feat_point,
+                state.feat_valid & (state.feat_point >= 0))
+
+    (ref_pyr, ref_R, ref_t, ref_px, ref_f, ref_pid, ref_ok) = jax.lax.cond(
+        reloc, ref_from_kf, ref_from_last, None)
+    T_ref = SE3(ref_R, ref_t)
+    pid_safe = jnp.clip(ref_pid, 0, P - 1)
+    depth = jnp.linalg.norm(T_ref.apply(m.pt.pos[pid_safe]), axis=-1)
+    ref_ok = ref_ok & (m.pt.ptype[pid_safe] != svomap.TYPE_DELETED)
+
+    # --- sparse image alignment -----------------------------------------
+    align = sparse_img_align(
+        ref_pyr, pyr, cam, SE3.identity(), ref_px, ref_f, depth, ref_ok,
+        max_level=cfg.klt_max_level, min_level=cfg.klt_min_level,
+        n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps)
+    T_cur = align.T_cur_ref * T_ref
+    # relocalization gate: need > 30 tracked to accept the alignment
+    reloc_fail = reloc & (align.n_tracked <= 30)
+
+    # --- reprojection + matching ----------------------------------------
+    pt2, rep = reproject_map(m, flat, T_cur, cam, cfg.grid_size, ncx, ncy,
+                             max_level=n_levels - 1)
+    m = m._replace(pt=pt2)
+    enough = rep.n_matches >= cfg.quality_min_fts
+
+    # --- pose optimization -----------------------------------------------
+    feat_f = cam.cam2world(rep.feat_px)
+    pid = jnp.clip(rep.feat_point, 0, P - 1)
+    pres = optimize_pose(
+        T_cur, m.pt.pos[pid], feat_f, rep.feat_level,
+        rep.feat_valid & enough, cam.fx,
+        reproj_thresh=cfg.poseoptim_thresh, n_iter=cfg.poseoptim_num_iter)
+    enough_edges = pres.n_obs >= 20
+
+    # --- quality gates (frame_handler_base.cpp:157-171) ------------------
+    insufficient = pres.n_obs < cfg.quality_min_fts
+    dropped = (state.num_obs_last - pres.n_obs) > cfg.quality_max_drop_fts
+    failed = reloc_fail | (~enough) | (~enough_edges) | insufficient
+
+    T_out = jax.tree.map(
+        lambda a, b: jnp.where(failed, a, b),
+        SE3(state.R, state.t), pres.T_f_w)
+    feat_valid = pres.inliers & (~failed)
+
+    frame_like = _FrameView(
+        T_out, state.frame_id + 1, rep.feat_px, feat_f, rep.feat_level,
+        jnp.where(feat_valid, rep.feat_point, -1), feat_valid)
+
+    # --- structure optimization (skipped on failure via masks) ----------
+    m = _structure_opt_fused(m, frame_like, cfg.structureoptim_max_pts,
+                             cfg.structureoptim_num_iter, ~failed)
+
+    # --- scene depth + keyframe policy -----------------------------------
+    p_feat = T_out.apply(m.pt.pos[pid])
+    z = p_feat[..., 2]
+    zok = feat_valid & (z > 0)
+    depth_mean = masked_median(z, zok, default=1.0)
+    depth_min_ = jnp.min(jnp.where(zok, z, jnp.inf))
+    depth_min_ = jnp.where(jnp.isfinite(depth_min_), depth_min_,
+                           depth_mean)
+    overlap = svomap.overlapping_kfs(m.kf, T_out, cam)
+    relpos = T_out.apply(svomap.kf_positions(m.kf))
+    near = (jnp.abs(relpos[:, 0]) / depth_mean < cfg.kfselect_mindist) \
+        & (jnp.abs(relpos[:, 1]) / depth_mean < cfg.kfselect_mindist * 0.8) \
+        & (jnp.abs(relpos[:, 2]) / depth_mean < cfg.kfselect_mindist * 1.3)
+    need_kf = ~jnp.any(overlap & near)
+    is_kf = (~failed) & need_kf & (~dropped)
+
+    # --- depth filter: update all seeds against this frame ---------------
+    m, _stats = df.update_seeds(
+        m, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
+        conv_thresh=cfg.seed_convergence_sigma2_thresh,
+        max_steps=cfg.epi_max_steps)
+
+    # --- keyframe insertion (cond: only pay detection on KF frames) ------
+    def insert_kf(m):
+        kf_depth = jnp.linalg.norm(T_out.apply(m.pt.pos[pid]), axis=-1)
+        m2, slot = svomap.add_keyframe(
+            m, flat.flat, T_out, frame_like.frame_id,
+            rep.feat_px, feat_f, rep.feat_level, frame_like.feat_point,
+            feat_valid, kf_depth)
+        pt = svomap.add_point_observations(
+            m2.pt, frame_like.feat_point,
+            jnp.full((C,), slot, jnp.int32),
+            jnp.arange(C, dtype=jnp.int32), feat_valid)
+        hit = jnp.zeros((P,), bool).at[pid].set(
+            feat_valid & (frame_like.feat_point >= 0))
+        ptype = jnp.where(hit & (pt.ptype == TYPE_CANDIDATE),
+                          TYPE_UNKNOWN, pt.ptype)
+        m2 = m2._replace(pt=pt._replace(ptype=ptype))
+        occupied = jnp.zeros((C,), bool).at[
+            cell_index(rep.feat_px, cfg.grid_size, ncx, ncy)].max(
+            feat_valid)
+        m2 = df.init_seeds(
+            m2, slot, pyr, cam, occupied, depth_mean, 0.5 * depth_min_,
+            cell_size=cfg.grid_size,
+            min_score=cfg.triang_min_corner_score)
+        # map cap: drop the furthest KF (but never the one just added)
+        if cfg.max_n_kfs > 2:
+            over = svomap.n_active_kfs(m2) > cfg.max_n_kfs
+            far = svomap.furthest_kf(m2.kf, T_out.inverse().t)
+            drop = jnp.where(over & (far != slot), far, -1)
+            m2 = svomap.delete_keyframe(m2, drop)
+        return m2
+
+    m = jax.lax.cond(is_kf, insert_kf, lambda mm: mm, m)
+
+    # --- stage transition -------------------------------------------------
+    # DEFAULT + failure -> RELOC; RELOC + success -> DEFAULT
+    new_stage = jnp.where(failed, STAGE_RELOC, STAGE_DEFAULT)
+    num_obs = jnp.where(failed, state.num_obs_last, pres.n_obs)
+
+    new_state = VOState(
+        m=m, pyr=pyr, R=T_out.R, t=T_out.t,
+        frame_id=frame_like.frame_id,
+        feat_px=rep.feat_px, feat_f=feat_f, feat_level=rep.feat_level,
+        feat_point=frame_like.feat_point, feat_valid=feat_valid,
+        stage=jnp.int32(new_stage),
+        num_obs_last=num_obs.astype(jnp.int32))
+    T_wc = T_out.inverse()
+    out = StepOut(rep.n_matches, pres.n_obs,
+                  is_kf, failed, new_stage,
+                  T_wc.t, T_out.R.reshape(-1))
+    return new_state, out
+
+
+class _FrameView(NamedTuple):
+    T: SE3
+    frame_id: jnp.ndarray
+    feat_px: jnp.ndarray
+    feat_f: jnp.ndarray
+    feat_level: jnp.ndarray
+    feat_point: jnp.ndarray
+    feat_valid: jnp.ndarray
+
+
+def _structure_opt_fused(m: MapState, fv: _FrameView, n_opt: int,
+                         n_iter: int, enabled) -> MapState:
+    """optimizeStructure with an enable mask (fused-step variant)."""
+    from rpg_svo_tpu.ops.point_opt import optimize_points
+    pt = m.pt
+    pid = fv.feat_point
+    ok = fv.feat_valid & (pid >= 0) & enabled
+    pid_safe = jnp.clip(pid, 0, pt.pos.shape[0] - 1)
+    age = jnp.where(ok, pt.last_optim[pid_safe], jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(age)[:n_opt]
+    sel = pid_safe[order]
+    sel_ok = ok[order]
+    kfs = jnp.clip(pt.obs_kf[sel], 0, m.kf.R.shape[0] - 1)
+    fts = jnp.clip(pt.obs_feat[sel], 0, m.kf.feat_f.shape[1] - 1)
+    obs_R = m.kf.R[kfs]
+    obs_t = m.kf.t[kfs]
+    obs_f = m.kf.feat_f[kfs, fts]
+    obs_ok = pt.obs_valid[sel]
+    okf = jnp.clip(pt.orig_kf[sel], 0, m.kf.R.shape[0] - 1)
+    obs_R = jnp.concatenate([obs_R, m.kf.R[okf][:, None]], axis=1)
+    obs_t = jnp.concatenate([obs_t, m.kf.t[okf][:, None]], axis=1)
+    obs_f = jnp.concatenate([obs_f, pt.orig_f[sel][:, None]], axis=1)
+    obs_ok = jnp.concatenate([obs_ok, (pt.orig_kf[sel] >= 0)[:, None]],
+                             axis=1)
+    can = sel_ok & (jnp.sum(obs_ok, 1) >= 2)
+    p_new, _ = optimize_points(pt.pos[sel], obs_R, obs_t, obs_f, obs_ok,
+                               can, n_iter=n_iter)
+    pos = pt.pos.at[sel].set(jnp.where(can[:, None], p_new, pt.pos[sel]))
+    last = pt.last_optim.at[sel].set(
+        jnp.where(can, fv.frame_id, pt.last_optim[sel]))
+    return m._replace(pt=pt._replace(pos=pos, last_optim=last))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ncx", "ncy",
+                                             "img_shape"))
+def vo_scan(state: VOState, imgs: jnp.ndarray, cam, cfg: Config,
+            ncx: int, ncy: int, img_shape: Tuple[int, int]):
+    """Track a whole image stack (T, H, W) in ONE device program."""
+    def step(s, img):
+        return vo_step(s, img, cam, cfg, ncx, ncy, img_shape)
+    return jax.lax.scan(step, state, imgs)

@@ -1,0 +1,174 @@
+"""I/O + analysis layer tests: native loader, dataset readers (round-trip
+through written fixtures), TUM trajectory, trace schema, ATE/RPE."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rpg_svo_tpu.io.trajectory import write_tum, read_tum, tum_to_se3
+from rpg_svo_tpu.io.trace import TraceWriter, TIMERS, LOGS
+from rpg_svo_tpu.io.datasets import (
+    load_image_gray, TUMDataset, EuRoCDataset, PrefetchingSource,
+)
+from rpg_svo_tpu.analysis.ate import associate, align_umeyama, ate_rmse
+from rpg_svo_tpu.analysis.rpe import rpe
+
+
+def _write_png(path, arr):
+    from PIL import Image
+    Image.fromarray(arr.astype(np.uint8), mode="L").save(path)
+
+
+def test_native_loader_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    p = str(tmp_path / "img.png")
+    _write_png(p, arr)
+    img = load_image_gray(p)
+    assert img.shape == (48, 64)
+    np.testing.assert_allclose(img, arr.astype(np.float32), atol=0.5)
+
+
+def test_native_loader_builds():
+    from rpg_svo_tpu.native import loader as nl
+    lib = nl._get_lib()
+    assert lib is not None, "native loader failed to build"
+
+
+def test_pgm_loader(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, (32, 40)).astype(np.uint8)
+    p = str(tmp_path / "img.pgm")
+    with open(p, "wb") as f:
+        f.write(b"P5 40 32 255\n")
+        f.write(arr.tobytes())
+    from rpg_svo_tpu.native import loader as nl
+    img = nl.load_gray(p)
+    if img is None:
+        pytest.skip("native loader unavailable")
+    np.testing.assert_allclose(img, arr.astype(np.float32))
+
+
+def test_tum_trajectory_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from rpg_svo_tpu.geometry.se3 import SE3, rot_to_quat
+    p = str(tmp_path / "traj.txt")
+    T = SE3.exp(jnp.array([[0.1, 0.2, 0.3, 0.05, 0.1, -0.02],
+                           [0.4, -0.1, 0.0, 0.0, 0.2, 0.1]]))
+    entries = [(0.1, np.asarray(T.t[i]), np.asarray(rot_to_quat(T.R[i])))
+               for i in range(2)]
+    entries = [(0.1 * (i + 1), e[1], e[2]) for i, e in enumerate(entries)]
+    write_tum(p, entries)
+    ts, t, q = read_tum(p)
+    assert ts.shape == (2,)
+    np.testing.assert_allclose(t, np.asarray(T.t), atol=1e-5)
+    T2 = tum_to_se3(t, q)
+    np.testing.assert_allclose(np.asarray(T2.R), np.asarray(T.R),
+                               atol=1e-4)
+
+
+def test_trace_writer_schema(tmp_path):
+    tw = TraceWriter(str(tmp_path), "test")
+    tw.log_frame({"timestamp": 0.1, "proc_time": 0.002,
+                  "img_align_n_tracked": 100, "repr_n_mps": 200,
+                  "repr_n_new_references": 150, "result": "no_keyframe"})
+    path = tw.flush()
+    with open(path) as f:
+        header = f.readline().strip().split(",")
+    assert header == TIMERS + LOGS
+
+
+def test_tum_dataset_reader(tmp_path):
+    root = tmp_path / "tum"
+    (root / "rgb").mkdir(parents=True)
+    imgs = []
+    with open(root / "rgb.txt", "w") as f:
+        f.write("# comment\n")
+        for i in range(3):
+            rel = f"rgb/{i}.png"
+            arr = np.full((24, 32), i * 10, np.uint8)
+            _write_png(str(root / rel), arr)
+            f.write(f"{i * 0.1:.4f} {rel}\n")
+    with open(root / "groundtruth.txt", "w") as f:
+        for i in range(3):
+            f.write(f"{i * 0.1:.4f} {i} 0 0 0 0 0 1\n")
+    ds = TUMDataset(str(root))
+    assert len(ds) == 3
+    img, ts = ds.frame(1)
+    assert img.shape == (24, 32)
+    assert abs(ts - 0.1) < 1e-9
+    assert ds.gt is not None
+
+
+def test_euroc_dataset_reader(tmp_path):
+    root = tmp_path / "euroc"
+    cam = root / "mav0" / "cam0" / "data"
+    cam.mkdir(parents=True)
+    with open(root / "mav0" / "cam0" / "data.csv", "w") as f:
+        f.write("#timestamp [ns],filename\n")
+        for i in range(2):
+            name = f"{i}.png"
+            _write_png(str(cam / name), np.zeros((16, 16), np.uint8))
+            f.write(f"{int(i * 5e7)},{name}\n")
+    ds = EuRoCDataset(str(root))
+    assert len(ds) == 2
+    img, ts = ds.frame(1)
+    assert img.shape == (16, 16)
+    assert abs(ts - 0.05) < 1e-9
+
+
+def test_prefetching_source(tmp_path):
+    root = tmp_path / "tum2"
+    (root / "rgb").mkdir(parents=True)
+    with open(root / "rgb.txt", "w") as f:
+        for i in range(5):
+            rel = f"rgb/{i}.png"
+            _write_png(str(root / rel), np.full((8, 8), i, np.uint8))
+            f.write(f"{i * 0.1:.4f} {rel}\n")
+    ds = TUMDataset(str(root))
+    got = [(i, f[0][0, 0]) for i, f in PrefetchingSource(ds, 2)]
+    assert [g[0] for g in got] == [0, 1, 2, 3, 4]
+    assert [g[1] for g in got] == [0, 1, 2, 3, 4]
+
+
+def test_associate():
+    a = np.array([0.0, 0.1, 0.2, 0.35])
+    b = np.array([0.005, 0.11, 0.31])
+    ia, ib = associate(a, b, max_dt=0.02)
+    assert list(ia) == [0, 1]
+    assert list(ib) == [0, 1]
+
+
+def test_umeyama_alignment_exact():
+    rng = np.random.default_rng(0)
+    model = rng.normal(size=(50, 3))
+    R, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(R) < 0:
+        R[:, 0] *= -1
+    s, t = 2.5, np.array([1.0, -2.0, 0.5])
+    data = s * model @ R.T + t
+    s2, R2, t2 = align_umeyama(model, data)
+    assert abs(s2 - s) < 1e-6
+    np.testing.assert_allclose(R2, R, atol=1e-6)
+    res = ate_rmse(data, model)
+    assert res["rmse"] < 1e-6
+    assert abs(res["scale"] - s) < 1e-6
+
+
+def test_rpe_identity_is_zero():
+    n = 10
+    t = np.cumsum(np.ones((n, 3)) * 0.1, axis=0)
+    R = np.tile(np.eye(3), (n, 1, 1))
+    res = rpe(t, R, t, R, delta=2)
+    assert res["trans_rmse"] < 1e-9
+    assert res["rot_rmse"] < 1e-9
+
+
+def test_rpe_detects_drift():
+    n = 10
+    t = np.cumsum(np.ones((n, 3)) * 0.1, axis=0)
+    R = np.tile(np.eye(3), (n, 1, 1))
+    t2 = t * 1.1   # 10% scale drift
+    res = rpe(t, R, t2, R, delta=1)
+    assert res["trans_rmse"] > 0.01
