@@ -1,0 +1,214 @@
+"""Bundle adjustment as a batched Gauss-Newton Schur-complement solve.
+
+TPU-native replacement for the reference's g2o backend
+(svo/src/bundle_adjustment.cpp): twoViewBA (:41-120), localBA (:122-251)
+and setupG2o's Schur marginalization of points (:345-375, 406-408 —
+``setSchur`` / BlockSolver_6_3).  Instead of a sparse graph library, the
+problem is SoA arrays with masks:
+
+- cameras: (K,) SE3 blocks with a `variable` mask (non-core keyframes are
+  fixed, bundle_adjustment.cpp:180-189);
+- points: (P, 3) with a valid mask, every point observed by the cameras;
+- observations: per point up to M rows (cam index, unit-plane measurement,
+  pyramid level), masked.
+
+Each GN iteration builds the camera blocks U (K, 6, 6), point blocks
+V (P, 3, 3), couplings W (P, M, 6, 3) with batched einsums, forms the
+dense reduced camera system S = U − W V⁻¹ Wᵀ (K·6 is small: tens of
+cameras), solves it, and back-substitutes the point updates.  Huber
+robust weights with per-level information 1/2^level match the reference's
+edge setup; chi2-increase rollback matches its conservative behavior.
+
+The same einsums run under shard_map with the POINT dimension sharded
+and psum over the mesh axis assembling S — that is the distributed local
+BA (see rpg_svo_tpu.parallel.ba).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rpg_svo_tpu.geometry.se3 import SE3
+from rpg_svo_tpu.geometry.cameras import project2d
+from rpg_svo_tpu.ops.robust import huber_weight
+
+
+class BAProblem(NamedTuple):
+    R: jnp.ndarray          # (K, 3, 3) T_f_w per camera
+    t: jnp.ndarray          # (K, 3)
+    cam_variable: jnp.ndarray   # (K,) bool — optimize this camera
+    p_w: jnp.ndarray        # (P, 3)
+    p_valid: jnp.ndarray    # (P,)
+    obs_cam: jnp.ndarray    # (P, M) int32 camera index
+    obs_f: jnp.ndarray      # (P, M, 3) measured unit bearings
+    obs_level: jnp.ndarray  # (P, M) int32
+    obs_mask: jnp.ndarray   # (P, M) bool
+
+
+class BAResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    p_w: jnp.ndarray
+    chi2_init: jnp.ndarray
+    chi2_final: jnp.ndarray
+    obs_inlier: jnp.ndarray  # (P, M) after final outlier check
+
+
+def _residuals_jacobians(prob: BAProblem, R, t, p_w, huber_k):
+    """Residuals + per-observation Jacobian blocks.
+
+    Returns r (P, M, 2), Jc (P, M, 2, 6), Jp (P, M, 2, 3), w (P, M).
+    """
+    K = R.shape[0]
+    cam = jnp.clip(prob.obs_cam, 0, K - 1)
+    Rc = R[cam]                              # (P, M, 3, 3)
+    tc = t[cam]
+    p_cam = jnp.einsum("pmij,pj->pmi", Rc, p_w) + tc
+    r = project2d(prob.obs_f) - project2d(p_cam)        # (P, M, 2)
+    x, y = p_cam[..., 0], p_cam[..., 1]
+    z = jnp.where(jnp.abs(p_cam[..., 2]) < 1e-10, 1e-10, p_cam[..., 2])
+    zi = 1.0 / z
+    zi2 = zi * zi
+    zero = jnp.zeros_like(x)
+    # d(residual)/d(cam twist), left-multiplicative (v, w) — the same sign
+    # convention as jacobian_xyz2uv
+    row0 = jnp.stack([-zi, zero, x * zi2,
+                      y * x * zi2, -(1.0 + x * x * zi2), y * zi], axis=-1)
+    row1 = jnp.stack([zero, -zi, y * zi2,
+                      1.0 + y * y * zi2, -x * y * zi2, -x * zi], axis=-1)
+    Jc = jnp.stack([row0, row1], axis=-2)               # (P, M, 2, 6)
+    Jproj = jnp.stack([
+        jnp.stack([zi, zero, -x * zi2], axis=-1),
+        jnp.stack([zero, zi, -y * zi2], axis=-1),
+    ], axis=-2)
+    Jp = -jnp.einsum("pmij,pmjl->pmil", Jproj, Rc)      # (P, M, 2, 3)
+    # information: 1/2^level, robust Huber on the weighted residual norm
+    sinfo = 1.0 / (2.0 ** prob.obs_level.astype(jnp.float32))
+    rn = jnp.linalg.norm(r, axis=-1) * sinfo
+    w = huber_weight(rn / jnp.maximum(huber_k, 1e-12)) * sinfo * sinfo
+    w = jnp.where(prob.obs_mask & prob.p_valid[:, None], w, 0.0)
+    return r, Jc, Jp, w
+
+
+def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping):
+    """One Schur GN step. Returns (R', t', p_w', chi2)."""
+    K = R.shape[0]
+    r, Jc, Jp, w = _residuals_jacobians(prob, R, t, p_w, huber_k)
+    chi2 = jnp.sum(w * jnp.sum(r * r, -1))
+    cam = jnp.clip(prob.obs_cam, 0, K - 1).reshape(-1)   # (P*M,)
+
+    # camera blocks U (K, 6, 6) and rhs b_c (K, 6) via segment sums
+    JcW = Jc * w[..., None, None]
+    U_obs = jnp.einsum("pmia,pmib->pmab", JcW, Jc).reshape(-1, 6, 6)
+    U = jax.ops.segment_sum(U_obs, cam, num_segments=K)
+    bc_obs = -jnp.einsum("pmia,pmi->pma", JcW, r).reshape(-1, 6)
+    b_c = jax.ops.segment_sum(bc_obs, cam, num_segments=K)
+
+    # point blocks V (P, 3, 3), b_p (P, 3), couplings W (P, M, 6, 3)
+    V = jnp.einsum("pmia,pmib,pm->pab", Jp, Jp, w)
+    b_p = -jnp.einsum("pmia,pmi,pm->pa", Jp, r, w)
+    Wc = jnp.einsum("pmia,pmib,pm->pmab", Jc, Jp, w)    # (P, M, 6, 3)
+    Vinv = jnp.linalg.inv(V + (1e-6 + damping) * jnp.eye(3))
+    Vinv = jnp.where(prob.p_valid[:, None, None], Vinv, 0.0)
+
+    # Schur: S = U - sum_p W_p Vinv_p W_pᵀ  (cross-cam blocks via pairs)
+    WV = jnp.einsum("pmab,pbc->pmac", Wc, Vinv)          # (P, M, 6, 3)
+    cross = jnp.einsum("pmac,pnbc->pmnab", WV, Wc)       # (P, M, M, 6, 6)
+    # scatter (cam_m, cam_n) blocks into the dense (K, K, 6, 6) system
+    camPM = jnp.clip(prob.obs_cam, 0, K - 1)
+    pair_idx = (camPM[:, :, None] * K + camPM[:, None, :]).reshape(-1)
+    S_flat = jax.ops.segment_sum(cross.reshape(-1, 6, 6), pair_idx,
+                                 num_segments=K * K)
+    S = -S_flat.reshape(K, K, 6, 6)
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
+    rhs_p = jnp.einsum("pmac,pc->pma", WV, b_p)          # (P, M, 6)
+    rhs = b_c - jax.ops.segment_sum(rhs_p.reshape(-1, 6), cam,
+                                    num_segments=K)
+
+    # fixed cameras: identity rows/cols, zero rhs
+    var = prob.cam_variable
+    eye6 = jnp.eye(6)
+    mask_kk = (var[:, None] & var[None, :])[:, :, None, None]
+    S = jnp.where(mask_kk, S, 0.0)
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+        jnp.where(var[:, None, None], damping * eye6, eye6))
+    rhs = jnp.where(var[:, None], rhs, 0.0)
+
+    # dense solve of the reduced camera system (6K x 6K)
+    Sd = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+    dx_c = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(K, 6)
+    dx_c = jnp.where(var[:, None], dx_c, 0.0)
+
+    # back-substitute point updates
+    dxc_obs = dx_c[camPM]                                # (P, M, 6)
+    Wt_dxc = jnp.einsum("pmab,pma->pb", Wc, dxc_obs)     # (P, 3)
+    dx_p = jnp.einsum("pab,pb->pa", Vinv, b_p - Wt_dxc)
+    dx_p = jnp.where(prob.p_valid[:, None], dx_p, 0.0)
+
+    T_new = SE3.exp(dx_c) * SE3(R, t)
+    return T_new.R, T_new.t, p_w + dx_p, chi2
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def solve_ba(prob: BAProblem, n_iter: int = 10,
+             huber_width: float = 1.0,
+             reproj_thresh_unitplane: float = 0.005) -> BAResult:
+    """Robust GN with chi2 rollback; prunes outlier observations at the
+    end like the reference's edge removal (bundle_adjustment.cpp:96-116,
+    222-250)."""
+    r0, _, _, w0 = _residuals_jacobians(prob, prob.R, prob.t, prob.p_w,
+                                        jnp.float32(huber_width))
+    chi2_init = jnp.sum(w0 * jnp.sum(r0 * r0, -1))
+
+    def make_body(pb):
+        def body(_, carry):
+            R, t, p, best, damping = carry
+            Rn, tn, pn, chi2 = _gn_step(pb, R, t, p,
+                                        jnp.float32(huber_width), damping)
+            bad = jnp.isnan(chi2) | jnp.any(jnp.isnan(tn)) \
+                | jnp.any(jnp.isnan(pn))
+            rn_, _, _, wn_ = _residuals_jacobians(
+                pb, Rn, tn, pn, jnp.float32(huber_width))
+            chi2_new = jnp.sum(wn_ * jnp.sum(rn_ * rn_, -1))
+            improve = (chi2_new < best) & (~bad)
+            R = jnp.where(improve, Rn, R)
+            t = jnp.where(improve, tn, t)
+            p = jnp.where(improve, pn, p)
+            best = jnp.where(improve, chi2_new, best)
+            damping = jnp.where(improve, damping * 0.5, damping * 8.0)
+            return R, t, p, best, jnp.clip(damping, 1e-8, 1e2)
+        return body
+
+    # phase 1: robust GN on all observations
+    n1 = max(n_iter // 2, 1)
+    R, t, p, chi2_mid, _ = jax.lax.fori_loop(
+        0, n1, make_body(prob),
+        (prob.R, prob.t, prob.p_w, chi2_init, jnp.float32(1e-4)))
+
+    # prune outlier edges (reference: remove edges with chi2 > thresh
+    # mid-way, bundle_adjustment.cpp:96-116) and re-solve on inliers
+    cam_m = jnp.clip(prob.obs_cam, 0, R.shape[0] - 1)
+    p_cam_m = jnp.einsum("pmij,pj->pmi", R[cam_m], p) + t[cam_m]
+    res_m = project2d(prob.obs_f) - project2d(p_cam_m)
+    keep = prob.obs_mask & (jnp.linalg.norm(res_m, axis=-1)
+                            < 3.0 * reproj_thresh_unitplane)
+    prob2 = prob._replace(obs_mask=keep)
+    r1, _, _, w1 = _residuals_jacobians(prob2, R, t, p,
+                                        jnp.float32(huber_width))
+    chi2_1 = jnp.sum(w1 * jnp.sum(r1 * r1, -1))
+    R, t, p, chi2_final, _ = jax.lax.fori_loop(
+        0, n_iter - n1, make_body(prob2),
+        (R, t, p, chi2_1, jnp.float32(1e-4)))
+
+    # final outlier pruning on unit-plane residual norm
+    cam = jnp.clip(prob.obs_cam, 0, R.shape[0] - 1)
+    p_cam = jnp.einsum("pmij,pj->pmi", R[cam], p) + t[cam]
+    res = project2d(prob.obs_f) - project2d(p_cam)
+    inlier = prob.obs_mask & (jnp.linalg.norm(res, axis=-1)
+                              < reproj_thresh_unitplane) \
+        & (p_cam[..., 2] > 0)
+    return BAResult(R, t, p, chi2_init, chi2_final, inlier)

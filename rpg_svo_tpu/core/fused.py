@@ -212,6 +212,12 @@ def vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
         ptype = jnp.where(hit & (pt.ptype == TYPE_CANDIDATE),
                           TYPE_UNKNOWN, pt.ptype)
         m2 = m2._replace(pt=pt._replace(ptype=ptype))
+        if cfg.loba_num_iter > 0:
+            from rpg_svo_tpu.core.local_ba import run_local_ba
+            m2 = run_local_ba(
+                m2, slot, jnp.float32(cfg.loba_robust_huber_width),
+                jnp.float32(cfg.loba_thresh), cam.fx,
+                n_iter=cfg.loba_num_iter, core_n_kfs=cfg.core_n_kfs)
         occupied = jnp.zeros((C,), bool).at[
             cell_index(rep.feat_px, cfg.grid_size, ncx, ncy)].max(
             feat_valid)

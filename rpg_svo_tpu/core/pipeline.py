@@ -417,6 +417,17 @@ class FrameHandler:
                           TYPE_UNKNOWN, pt.ptype)
         self.map = m._replace(pt=pt._replace(ptype=ptype))
 
+        # optional local bundle adjustment (accurate preset)
+        if cfg.loba_num_iter > 0:
+            from rpg_svo_tpu.core.local_ba import run_local_ba
+            self.map = run_local_ba(
+                self.map, slot,
+                jnp.float32(cfg.loba_robust_huber_width),
+                jnp.float32(cfg.loba_thresh), self.cam.fx,
+                n_iter=cfg.loba_num_iter, core_n_kfs=cfg.core_n_kfs)
+            frame = frame.with_pose(
+                SE3(self.map.kf.R[slot], self.map.kf.t[slot]))
+
         # seeds: update against the KF, then init new ones
         self.map, stats = df.update_seeds(
             self.map, frame.flat, frame.T_f_w, self.cam,
