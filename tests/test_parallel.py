@@ -1,0 +1,77 @@
+"""Sharded programs on the virtual 8-device CPU mesh: distributed BA must
+match the single-device solver; sharded pose opt must match optimize_pose
+behavior; sharded seed update must match the batched one."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rpg_svo_tpu.geometry.se3 import SE3
+from rpg_svo_tpu.parallel.sharded import (
+    make_mesh, sharded_pose_optimize, sharded_seed_update,
+)
+from rpg_svo_tpu.parallel.ba import distributed_ba_solve
+from rpg_svo_tpu.ba.schur import solve_ba
+from rpg_svo_tpu.core.depth_filter import seed_variance_update
+
+from test_ba import make_problem
+
+
+def test_mesh_shape():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("dp", "sp")
+
+
+def test_distributed_ba_matches_single_device():
+    mesh = make_mesh(8, dp=1)   # 8-way point sharding
+    prob, (R_gt, t_gt, p_gt) = make_problem(jax.random.PRNGKey(0),
+                                            K=4, P=64, M=4)
+    res_single = solve_ba(prob, n_iter=8, huber_width=0.01)
+    R, t, p, chi2 = distributed_ba_solve(mesh, prob, n_iter=8,
+                                         huber_width=0.01)
+    # both must recover the ground truth (reduction order may differ)
+    terr_d = np.linalg.norm(np.asarray(t - t_gt), axis=-1)
+    assert terr_d[2:].max() < 2e-3, terr_d
+    perr = np.linalg.norm(np.asarray(p - p_gt), axis=-1)
+    assert np.median(perr) < 2e-3
+    # and agree with each other closely
+    np.testing.assert_allclose(np.asarray(t), np.asarray(res_single.t),
+                               atol=5e-4)
+
+
+def test_sharded_pose_optimize_converges():
+    mesh = make_mesh(8, dp=2)   # sp = 4
+    key = jax.random.PRNGKey(1)
+    p_w = jax.random.uniform(key, (128, 3), minval=-1, maxval=1) \
+        + jnp.array([0.0, 0.0, 3.0])
+    T_gt = SE3.exp(jnp.array([0.2, -0.1, 0.05, 0.03, 0.02, -0.01]))
+    f = T_gt.apply(p_w)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+    T0 = SE3.identity()
+    T = sharded_pose_optimize(mesh, T0, p_w, f,
+                              jnp.zeros(128, jnp.int32),
+                              jnp.ones(128, bool), n_iter=10)
+    terr = float(jnp.linalg.norm(T.t - T_gt.t))
+    assert terr < 1e-3, terr
+
+
+def test_sharded_seed_update_matches_batched():
+    mesh = make_mesh(8, dp=1)
+    S = 8 * 16
+    key = jax.random.PRNGKey(2)
+    mu = jax.random.uniform(key, (S,), minval=0.3, maxval=0.8)
+    sigma2 = jnp.full((S,), 0.05)
+    a = jnp.full((S,), 10.0)
+    b = jnp.full((S,), 10.0)
+    z_range = jnp.full((S,), 2.0)
+    x = mu + 0.01
+    tau2 = jnp.full((S,), 1e-3)
+    act = jnp.ones((S,), bool)
+    m2, s2, a2, b2, nconv = sharded_seed_update(
+        mesh, mu, sigma2, a, b, z_range, x, tau2, act)
+    m2r, s2r, a2r, b2r = seed_variance_update(mu, sigma2, a, b, z_range,
+                                              x, tau2)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m2r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2r), atol=1e-6)
