@@ -1,0 +1,160 @@
+"""Offline benchmark driver: run the pipeline over a dataset, trace, evaluate.
+
+Equivalent of BenchmarkNode (svo_ros/src/benchmark_node.cpp:133-256) plus
+the svo_analysis benchmark/evaluate drivers (scripts/benchmark.py:18-106,
+evaluate.py): runs VO over a dataset, writes the TUM-format trajectory and
+the SVO_TRACE csv, and evaluates ATE/RPE against ground truth.
+
+Usage:
+  python -m rpg_svo_tpu.tools.benchmark --dataset synthetic \
+      --frames 100 --out /tmp/svo_run
+  python -m rpg_svo_tpu.tools.benchmark --dataset tum --path <dir> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def run(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rpg_svo_tpu.config import fast_preset, accurate_preset
+    from rpg_svo_tpu.core.pipeline import FrameHandler
+    from rpg_svo_tpu.geometry.se3 import SE3
+    from rpg_svo_tpu.io.trajectory import write_tum, pose_entry
+    from rpg_svo_tpu.io.trace import TraceWriter
+    from rpg_svo_tpu.viz import Info, InfoStream, status_line
+    from rpg_svo_tpu.analysis.ate import ate_rmse, associate
+    from rpg_svo_tpu.analysis.rpe import rpe as rpe_eval
+    from rpg_svo_tpu.geometry.se3 import quat_to_rot
+
+    os.makedirs(args.out, exist_ok=True)
+    cfg = accurate_preset() if args.preset == "accurate" else fast_preset()
+    cfg = cfg.replace(grid_size=args.grid_size)
+
+    gt = None  # (ts, t (N,3), q (N,4) xyzw)
+    if args.dataset == "synthetic":
+        from rpg_svo_tpu.utils.synthetic import SyntheticDataset
+        from rpg_svo_tpu.geometry.se3 import rot_to_quat
+        ds = SyntheticDataset(n_frames=args.frames, trajectory="circle",
+                              radius=0.25, revolutions=0.6)
+        cam = ds.cam
+        shape = ds.shape
+
+        def frames():
+            for i in range(len(ds)):
+                img, depth, T = ds.frame(i)
+                yield i / 50.0, img, (depth if i == 0 else None), T
+        gt = (np.arange(len(ds)) / 50.0,
+              np.stack([np.asarray(p.t) for p in ds.poses]),
+              np.stack([np.asarray(rot_to_quat(p.R)) for p in ds.poses]))
+    elif args.dataset == "tum":
+        from rpg_svo_tpu.io.datasets import TUMDataset
+        from rpg_svo_tpu.geometry.cameras import PinholeCamera
+        ds = TUMDataset(args.path)
+        img0, _ = ds.frame(0)
+        shape = img0.shape
+        # fr2 intrinsics default; override via --cam fx,fy,cx,cy
+        cam_p = [float(x) for x in args.cam.split(",")] if args.cam else \
+            [520.9, 521.0, 325.1, 249.7]
+        cam = PinholeCamera.make(shape[1], shape[0], *cam_p[:4])
+        gt = ds.gt
+
+        def frames():
+            for i in range(min(len(ds), args.frames)):
+                img, ts = ds.frame(i)
+                yield ts, jnp.asarray(img), None, None
+    elif args.dataset == "euroc":
+        from rpg_svo_tpu.io.datasets import EuRoCDataset
+        from rpg_svo_tpu.geometry.cameras import PinholeCamera
+        ds = EuRoCDataset(args.path)
+        img0, _ = ds.frame(0)
+        shape = img0.shape
+        cam_p = [float(x) for x in args.cam.split(",")] if args.cam else \
+            [458.654, 457.296, 367.215, 248.375, -0.2834, 0.0739,
+             0.0002, 1.76e-5]
+        cam = PinholeCamera.make(shape[1], shape[0], cam_p[0], cam_p[1],
+                                 cam_p[2], cam_p[3],
+                                 *(cam_p[4:8] if len(cam_p) > 4 else []))
+        gt = ds.gt
+
+        def frames():
+            for i in range(min(len(ds), args.frames)):
+                img, ts = ds.frame(i)
+                yield ts, jnp.asarray(img), None, None
+    else:
+        raise SystemExit(f"unknown dataset {args.dataset}")
+
+    fh = FrameHandler(cam, cfg, img_shape=shape)
+    tracer = TraceWriter(args.out, "trace")
+    stream = InfoStream()
+    entries = []
+    est_ts = []
+
+    t_start = time.perf_counter()
+    for ts, img, depth0, T_gt in frames():
+        if depth0 is not None and args.seed_first_frame:
+            fh.set_first_frame_with_depth(img, T_gt.inverse(), depth0, ts)
+            entries.append(pose_entry(ts, T_gt))
+            est_ts.append(ts)
+            continue
+        info = fh.add_image(img, ts)
+        tracer.log_frame(info)
+        rec = Info.from_frame_info(info, fh.quality)
+        stream.push(rec)
+        if args.verbose:
+            print(status_line(rec, stream.fps))
+        if fh.stage == "default":
+            entries.append(pose_entry(ts, fh.last_frame.T_f_w.inverse()))
+            est_ts.append(ts)
+    wall = time.perf_counter() - t_start
+
+    traj_path = os.path.join(args.out, "traj_estimate.txt")
+    write_tum(traj_path, entries)
+    trace_path = tracer.flush()
+
+    report = {"frames": len(stream.infos), "wall_s": round(wall, 3),
+              "fps": round(len(stream.infos) / max(wall, 1e-9), 2),
+              "trajectory": traj_path, "trace": trace_path}
+    if gt is not None and len(entries) > 3:
+        est_t = np.stack([e[1] for e in entries])
+        est_q = np.stack([e[2] for e in entries])
+        ia, ib = associate(np.asarray(est_ts), gt[0])
+        if len(ia) > 3:
+            report["ate"] = ate_rmse(gt[1][ib], est_t[ia])
+            gt_R = np.asarray(quat_to_rot(jnp.asarray(gt[2][ib])))
+            est_R = np.asarray(quat_to_rot(jnp.asarray(est_q[ia])))
+            report["rpe_delta1"] = rpe_eval(gt[1][ib], gt_R,
+                                            est_t[ia], est_R, delta=1)
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", default="synthetic",
+                    choices=["synthetic", "tum", "euroc", "blender"])
+    ap.add_argument("--path", default=None, help="dataset directory")
+    ap.add_argument("--out", default="/tmp/svo_run")
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--preset", default="fast",
+                    choices=["fast", "accurate"])
+    ap.add_argument("--grid-size", type=int, default=25)
+    ap.add_argument("--cam", default=None,
+                    help="fx,fy,cx,cy[,k1,k2,p1,p2]")
+    ap.add_argument("--seed-first-frame", action="store_true",
+                    default=True,
+                    help="seed frame 0 with GT depth when available")
+    ap.add_argument("--verbose", action="store_true")
+    run(ap.parse_args())
+
+
+if __name__ == "__main__":
+    main()
