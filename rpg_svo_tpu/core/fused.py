@@ -144,7 +144,7 @@ def vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     # --- reprojection + matching ----------------------------------------
     pt2, rep = reproject_map(m, flat, T_cur, cam, cfg.grid_size, ncx, ncy,
                              max_level=n_levels - 1)
-    m = m._replace(pt=pt2)
+    m = svomap.scrub_dead_references(m._replace(pt=pt2))
     enough = rep.n_matches >= cfg.quality_min_fts
 
     # --- pose optimization -----------------------------------------------

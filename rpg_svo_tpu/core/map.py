@@ -372,5 +372,25 @@ def delete_keyframe(m: MapState, slot: jnp.ndarray) -> MapState:
     return m._replace(kf=kf, pt=pt, seed=seed)
 
 
+def scrub_dead_references(m: MapState) -> MapState:
+    """Invalidate keyframe features whose point has been deleted
+    (Map::safeDeletePoint's removePtFrameRef side, map.cpp:60-77, done
+    lazily in bulk).  MUST run after any pass that deletes points and
+    BEFORE the next point allocation, so stale references can never see a
+    recycled pool slot."""
+    kf = m.kf
+    pt = m.pt
+    pid = jnp.clip(kf.feat_point, 0, pt.ptype.shape[0] - 1)
+    has_pt = kf.feat_point >= 0
+    alive = pt.ptype[pid] != TYPE_DELETED
+    feat_valid = kf.feat_valid & (~has_pt | alive)
+    feat_point = jnp.where(has_pt & ~alive, -1, kf.feat_point)
+    # observations of deleted points die with them
+    obs_valid = pt.obs_valid & (pt.ptype != TYPE_DELETED)[:, None]
+    return m._replace(kf=kf._replace(feat_valid=feat_valid,
+                                     feat_point=feat_point),
+                      pt=pt._replace(obs_valid=obs_valid))
+
+
 def n_active_kfs(m: MapState) -> jnp.ndarray:
     return jnp.sum(m.kf.active)

@@ -332,7 +332,8 @@ class FrameHandler:
             self.map, frame.flat, T_cur, self.cam,
             cfg.grid_size, self.ncx, self.ncy,
             max_level=self.n_levels - 1)
-        self.map = self.map._replace(pt=pt)
+        self.map = svomap.scrub_dead_references(
+            self.map._replace(pt=pt))
         info["repr_n_mps"] = int(rep.n_trials)
         info["repr_n_new_references"] = int(rep.n_matches)
         n_matches = int(rep.n_matches)
@@ -502,6 +503,81 @@ class FrameHandler:
                 self.last_frame = saved_last
             return res, frame, info
         return RESULT_FAILURE, frame, info
+
+    # -- public API parity with FrameHandlerMono --------------------------
+    def last_processing_time(self) -> float:
+        return self.log[-1]["proc_time"] if self.log else 0.0
+
+    def tracking_quality(self) -> str:
+        return self.quality
+
+    def relocalize_frame_at_pose(self, kf_frame_id: int, T_f_kf: SE3,
+                                 img, timestamp: float = 0.0) -> bool:
+        """relocalizeFrameAtPose (frame_handler_mono.cpp:267-283): resume
+        tracking against a known keyframe with a pose prior."""
+        kf = self.map.kf
+        slots = np.flatnonzero(np.asarray(kf.active)
+                               & (np.asarray(kf.frame_id) == kf_frame_id))
+        if len(slots) == 0:
+            return False
+        slot = int(slots[0])
+        frame = make_frame(img, self.n_levels, self.n_cells,
+                           self.next_id, timestamp)
+        self.next_id += 1
+        T_kf = SE3(kf.R[slot], kf.t[slot])
+        frame = frame.with_pose(T_f_kf * T_kf)
+        saved_stage = self.stage
+        self.stage = STAGE_RELOCALIZING
+        info = {"frame_id": int(frame.frame_id), "timestamp": timestamp,
+                "stage": self.stage}
+        res, frame, info = self._relocalize(frame, info)
+        self.last_frame = frame
+        if res != RESULT_FAILURE:
+            self.stage = STAGE_DEFAULT_FRAME
+            return True
+        self.stage = saved_stage
+        return False
+
+    def get_seeds_snapshot(self):
+        """Thread-safe-by-construction seed snapshot (DepthFilter::
+        getSeedsCopy equivalent — our state is immutable arrays)."""
+        s = self.map.seed
+        act = np.asarray(s.active)
+        return {
+            "kf_slot": np.asarray(s.kf_slot)[act],
+            "px": np.asarray(s.px)[act],
+            "mu": np.asarray(s.mu)[act],
+            "sigma2": np.asarray(s.sigma2)[act],
+            "a": np.asarray(s.a)[act],
+            "b": np.asarray(s.b)[act],
+        }
+
+    def dense_input(self, kf_slot: int):
+        """DenseInput export (visualizer.cpp:269-314 / DenseInput.msg):
+        keyframe image + pose + scene depth range for downstream dense
+        reconstruction."""
+        kf = self.map.kf
+        if not bool(kf.active[kf_slot]):
+            return None
+        from rpg_svo_tpu.ops.pyramid import pyramid_shapes
+        shapes = pyramid_shapes(self.img_shape, self.n_levels)
+        h, w = shapes[0]
+        img = np.asarray(kf.flat_pyr[kf_slot][: h * w]).reshape(h, w)
+        pid = np.asarray(kf.feat_point[kf_slot])
+        ok = np.asarray(kf.feat_valid[kf_slot]) & (pid >= 0)
+        T = SE3(kf.R[kf_slot], kf.t[kf_slot])
+        if ok.any():
+            p = np.asarray(T.apply(self.map.pt.pos[
+                jnp.clip(jnp.asarray(pid), 0, self.map.pt.pos.shape[0] - 1)]))
+            z = p[ok, 2]
+            z = z[z > 0]
+            zmin, zmax = (float(z.min()), float(z.max())) if len(z) \
+                else (0.1, 10.0)
+        else:
+            zmin, zmax = 0.1, 10.0
+        return {"image": img, "T_w_f": T.inverse(),
+                "min_depth": zmin, "max_depth": zmax,
+                "frame_id": int(kf.frame_id[kf_slot])}
 
     def _set_quality(self, num_obs: int):
         self.quality = QUALITY_GOOD

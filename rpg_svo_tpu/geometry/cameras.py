@@ -61,17 +61,20 @@ class PinholeCamera(NamedTuple):
 
     def _undistort(self, xd: jnp.ndarray) -> jnp.ndarray:
         """Iterative inverse of _distort (OpenCV-style division iteration,
-        fixed 10 steps, jit-safe; converges for strong barrel distortion)."""
-        def body(_, xu):
+        10 unrolled steps; converges for strong barrel distortion).
+        Unrolled rather than fori_loop: straight-line code compiles much
+        faster on the TPU backend and fuses into callers."""
+        xu = xd
+        for _ in range(10):
             x, y = xu[..., 0], xu[..., 1]
             r2 = x * x + y * y
             radial = 1.0 + r2 * (self.k1 + r2 * (self.k2 + r2 * self.k3))
             tx = 2.0 * self.p1 * x * y + self.p2 * (r2 + 2.0 * x * x)
             ty = self.p1 * (r2 + 2.0 * y * y) + 2.0 * self.p2 * x * y
             radial = jnp.where(jnp.abs(radial) < 1e-6, 1e-6, radial)
-            return jnp.stack([(xd[..., 0] - tx) / radial,
-                              (xd[..., 1] - ty) / radial], axis=-1)
-        return jax.lax.fori_loop(0, 10, body, xd)
+            xu = jnp.stack([(xd[..., 0] - tx) / radial,
+                            (xd[..., 1] - ty) / radial], axis=-1)
+        return xu
 
     def project_unitplane(self, uv: jnp.ndarray) -> jnp.ndarray:
         """Unit-plane (..., 2) -> pixel (..., 2), applying distortion."""
