@@ -22,6 +22,7 @@ def bilinear(img: jnp.ndarray, xy: jnp.ndarray,
     clamped before the gather so the op is safe; use the mask to ignore them.
     """
     H, W = img.shape
+    flat = img.reshape(-1)   # 1-D gathers: ~20x faster than 2-D on TPU
     x = xy[..., 0]
     y = xy[..., 1]
     x0 = jnp.floor(x)
@@ -31,10 +32,11 @@ def bilinear(img: jnp.ndarray, xy: jnp.ndarray,
     valid = (x0 >= 0) & (y0 >= 0) & (x0 < W - 1) & (y0 < H - 1)
     xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
     yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-    i00 = img[yi, xi]
-    i01 = img[yi, xi + 1]
-    i10 = img[yi + 1, xi]
-    i11 = img[yi + 1, xi + 1]
+    idx = yi * W + xi
+    i00 = flat[idx]
+    i01 = flat[idx + 1]
+    i10 = flat[idx + W]
+    i11 = flat[idx + W + 1]
     top = i00 * (1.0 - wx) + i01 * wx
     bot = i10 * (1.0 - wx) + i11 * wx
     vals = top * (1.0 - wy) + bot * wy
@@ -122,6 +124,23 @@ class FlatPyramid:
         return jnp.where(valid, top * (1.0 - wy) + bot * wy, fill), valid
 
 
+    def nearest(self, level: jnp.ndarray, xy: jnp.ndarray,
+                fill: float = 0.0):
+        """Nearest-neighbor sampling (1 gather per sample; the epipolar
+        SCAN uses this — the reference also scans at integer pixels,
+        matcher.cpp:263-291 — and the subsequent align2d refines
+        subpixel)."""
+        level = jnp.clip(level, 0, self.n_levels - 1)
+        W = self._widths[level]
+        H = self._heights[level]
+        base = self._offsets[level]
+        xi = jnp.round(xy[..., 0]).astype(jnp.int32)
+        yi = jnp.round(xy[..., 1]).astype(jnp.int32)
+        valid = (xi >= 0) & (yi >= 0) & (xi < W) & (yi < H)
+        idx = base + jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        return jnp.where(valid, self.flat[idx], fill), valid
+
+
 class BoundPyramidPool:
     """A (K, L) pool of flat pyramids (all sharing one level layout) bound
     to a per-query pyramid index — e.g. each depth-filter seed sampling its
@@ -158,13 +177,19 @@ class BoundPyramidPool:
     def bilinear(self, level: jnp.ndarray, xy: jnp.ndarray,
                  fill: float = 0.0):
         """xy (N, ..., 2); level broadcasts against xy batch dims; item i
-        samples pyramid self.idx[i] (clamped; callers mask idx < 0)."""
+        samples pyramid self.idx[i] (clamped; callers mask idx < 0).
+
+        The pool is addressed as one flat 1-D buffer (k * L + idx): 2-D
+        gathers lower ~20x slower on TPU than single-axis gathers.
+        """
         level = jnp.clip(level, 0, self.n_levels - 1)
         W = self._widths[level]
         H = self._heights[level]
         base = self._offsets[level]
+        L = self.pool.shape[1]
         k = jnp.clip(self.idx, 0, self.pool.shape[0] - 1)
         k = k.reshape(k.shape + (1,) * (xy.ndim - k.ndim - 1))
+        flat = self.pool.reshape(-1)
         x, y = xy[..., 0], xy[..., 1]
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
@@ -173,12 +198,11 @@ class BoundPyramidPool:
         valid = (x0 >= 0) & (y0 >= 0) & (x0 < (W - 1)) & (y0 < (H - 1))
         xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
         yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-        idx = base + yi * W + xi
-        kb = jnp.broadcast_to(k, idx.shape)
-        i00 = self.pool[kb, idx]
-        i01 = self.pool[kb, idx + 1]
-        i10 = self.pool[kb, idx + W]
-        i11 = self.pool[kb, idx + W + 1]
+        idx = k * L + base + yi * W + xi
+        i00 = flat[idx]
+        i01 = flat[idx + 1]
+        i10 = flat[idx + W]
+        i11 = flat[idx + W + 1]
         top = i00 * (1.0 - wx) + i01 * wx
         bot = i10 * (1.0 - wx) + i11 * wx
         return jnp.where(valid, top * (1.0 - wy) + bot * wy, fill), valid

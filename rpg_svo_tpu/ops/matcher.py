@@ -39,7 +39,7 @@ from rpg_svo_tpu.ops.feature_align import (
 )
 
 # static cap on epipolar scan steps (reference caps at 1000)
-DEFAULT_MAX_STEPS = 256
+DEFAULT_MAX_STEPS = 128
 ZMSSD_THRESHOLD = 2000.0 * PATCH * PATCH
 
 
@@ -129,6 +129,32 @@ class EpipolarMatch(NamedTuple):
     success: jnp.ndarray     # (N,) bool
 
 
+def warp_patches_rotated(A_level0: jnp.ndarray, ref_pyr,
+                         px_ref: jnp.ndarray, level_ref: jnp.ndarray,
+                         search_level: jnp.ndarray, dir_lvl: jnp.ndarray):
+    """Ref 8x8 patches sampled in the (epipolar-dir, normal) basis of the
+    CURRENT frame, inverse-warped into the ref pyramid.  dir_lvl (N, 2) is
+    the unit epipolar direction in search-level px.  Returns
+    (patch (N, 64), valid (N,))."""
+    Ainv = jnp.linalg.inv(
+        A_level0 + 1e-9 * jnp.eye(2, dtype=A_level0.dtype))
+    r = jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH
+    # flat order MUST match the scan windows built from the strip:
+    # index p = u * 8 + v (u = along-line offset slow, v = normal fast)
+    uu, vv = jnp.meshgrid(r, r, indexing="ij")
+    nrm = jnp.stack([-dir_lvl[:, 1], dir_lvl[:, 0]], axis=-1)
+    # (N, 64, 2) rotated offsets in search-level px
+    offs = (uu.ravel()[None, :, None] * dir_lvl[:, None, :]
+            + vv.ravel()[None, :, None] * nrm[:, None, :])
+    scale_cur = (2.0 ** search_level.astype(jnp.float32))
+    scale_ref = (2.0 ** level_ref.astype(jnp.float32))
+    po = jnp.einsum("nij,npj->npi", Ainv,
+                    offs * scale_cur[:, None, None])      # level-0 ref offs
+    coords = (px_ref[:, None, :] + po) / scale_ref[:, None, None]
+    vals, ok = ref_pyr.bilinear(level_ref[:, None], coords)
+    return vals, jnp.all(ok, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("max_steps", "n_iter",
                                              "max_level"))
 def epipolar_match(cur_pyr: FlatPyramid,
@@ -145,7 +171,17 @@ def epipolar_match(cur_pyr: FlatPyramid,
                    max_steps: int = DEFAULT_MAX_STEPS,
                    n_iter: int = 10,
                    max_level: int = 4) -> EpipolarMatch:
-    """Batched epipolar ZMSSD search + subpixel refinement + triangulation."""
+    """Batched epipolar ZMSSD search + subpixel refinement + triangulation.
+
+    TPU-shaped scan: instead of gathering an 8x8 patch at every scan
+    position (O(steps*64) scattered gathers per seed — the throughput
+    killer), ONE rotated strip of (max_steps+8) x 8 samples is gathered
+    along the epipolar line and every scan window becomes a static slice
+    of the strip (im2col); the ZMSSD over all windows is then dense VPU
+    math.  Scan spacing is exactly 1px at the search level; segments
+    longer than max_steps px bump the search level so the whole range is
+    always covered (coarser, then recovered by align2d).
+    """
     # epipolar segment endpoints on the unit plane of cur
     pA = T_cur_ref.apply(f_ref * d_min[:, None])     # near endpoint
     pB = T_cur_ref.apply(f_ref * d_max[:, None])     # far endpoint
@@ -156,34 +192,60 @@ def epipolar_match(cur_pyr: FlatPyramid,
                            T_cur_ref, level_ref)
     search_level = best_search_level(A, level_ref, max_level)
 
+    # bump the level until the segment fits max_steps at 1px spacing
+    pxA0 = cam.project_unitplane(uvA)
+    pxB0 = cam.project_unitplane(uvB)
+    seg0 = jnp.linalg.norm(pxB0 - pxA0, axis=-1)     # level-0 px
+    need = jnp.ceil(jnp.log2(jnp.maximum(
+        seg0 / (2.0 ** search_level.astype(jnp.float32))
+        / (max_steps - 1.0), 1.0)))
+    search_level = jnp.clip(search_level + need.astype(jnp.int32),
+                            0, max_level)
+    scale = 2.0 ** search_level.astype(jnp.float32)
+
+    pxA = pxA0 / scale[:, None]
+    pxB = pxB0 / scale[:, None]
+    seg = pxB - pxA
+    seg_len = jnp.linalg.norm(seg, axis=-1)
+    dir_lvl = seg / jnp.maximum(seg_len, 1e-9)[:, None]
+    # degenerate segment (zero baseline): scan around pxA in +x
+    degen = seg_len < 1e-6
+    dir_lvl = jnp.where(degen[:, None], jnp.array([1.0, 0.0]), dir_lvl)
+    n_steps = jnp.clip(seg_len.astype(jnp.int32) + 1, 1, max_steps)
+
+    # ref patches: axis-aligned bordered (for align2d) + rotated (for scan)
     ref_patch_border, ref_ok = warp_affine_patches(
         A, ref_pyr, px_ref, level_ref, search_level)
-    ref_patch = _inner_patch(ref_patch_border)
+    ref_rot, rot_ok = warp_patches_rotated(
+        A, ref_pyr, px_ref, level_ref, search_level, dir_lvl)
+    ref_ok = ref_ok & rot_ok
 
-    # scan positions along the segment, spaced ~0.7px at the search level
-    scale = 2.0 ** search_level.astype(jnp.float32)
-    pxA = cam.project_unitplane(uvA)
-    pxB = cam.project_unitplane(uvB)
-    seg_len = jnp.linalg.norm((pxB - pxA) / scale[:, None], axis=-1)
-    n_steps = jnp.clip((seg_len / 0.7).astype(jnp.int32) + 1, 1, max_steps)
-    ts = jnp.arange(max_steps, dtype=jnp.float32)[None, :] \
-        / jnp.maximum(n_steps[:, None].astype(jnp.float32) - 1.0, 1.0)
-    step_mask = ts <= 1.0 + 1e-6
-    uv = uvA[:, None, :] * (1 - ts[..., None]) \
-        + uvB[:, None, :] * ts[..., None]
-    px_scan = cam.project_unitplane(uv) / scale[:, None, None]  # level px
+    # strip gather: S[c, v] = I(pxA + (c-4)*dir + (v-4)*normal)
+    nrm = jnp.stack([-dir_lvl[:, 1], dir_lvl[:, 0]], axis=-1)
+    cs = jnp.arange(max_steps + PATCH, dtype=jnp.float32) - HALFPATCH
+    rs = jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH
+    coords = (pxA[:, None, None, :]
+              + cs[None, :, None, None] * dir_lvl[:, None, None, :]
+              + rs[None, None, :, None] * nrm[:, None, None, :])
+    # nearest-neighbor: 1 gather/sample (reference scans integer pixels
+    # too); align2d below recovers the subpixel position
+    strip, strip_ok = cur_pyr.nearest(
+        search_level[:, None, None], coords)          # (N, S+8, 8)
 
-    # ZMSSD at every scan position: one (N, S, 64) flat-pyramid gather
-    r = jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH
-    ys, xs = jnp.meshgrid(r, r, indexing="ij")
-    grid = jnp.stack([xs.ravel(), ys.ravel()], axis=-1)   # (64, 2)
-    coords = px_scan[:, :, None, :] + grid[None, None]
-    vals, ok = cur_pyr.bilinear(search_level[:, None, None], coords)
-    sc = zmssd(ref_patch[:, None, :], vals)               # (N, S)
-    sc = jnp.where(step_mask & jnp.all(ok, -1), sc, jnp.inf)
+    # windows: W[s] = strip[s : s+8, :] -> (N, S, 64), dense slices only
+    wins = jnp.stack([strip[:, u: u + max_steps, :]
+                      for u in range(PATCH)], axis=2)  # (N, S, 8, 8)
+    wins = wins.reshape(wins.shape[0], max_steps, PATCH * PATCH)
+    wok = jnp.stack([strip_ok[:, u: u + max_steps, :]
+                     for u in range(PATCH)], axis=2)
+    wok = jnp.all(wok.reshape(wok.shape[0], max_steps, -1), axis=-1)
+
+    sc = zmssd(ref_rot[:, None, :], wins)              # (N, S)
+    step_ids = jnp.arange(max_steps, dtype=jnp.int32)[None, :]
+    sc = jnp.where((step_ids < n_steps[:, None]) & wok, sc, jnp.inf)
     best_score = jnp.min(sc, axis=1)
     bi = jnp.argmin(sc, axis=1)
-    best_px = jnp.take_along_axis(px_scan, bi[:, None, None], axis=1)[:, 0]
+    best_px = pxA + bi[:, None].astype(jnp.float32) * dir_lvl
 
     found = jnp.isfinite(best_score) & valid & ref_ok
     found = found & (best_score < ZMSSD_THRESHOLD)
