@@ -69,7 +69,15 @@ class Config:
     # --- depth filter ---
     seed_convergence_sigma2_thresh: float = 200.0  # converge when sqrt(s2) < range/this
     df_max_kf_age: int = 3          # seeds older than this many KFs are dropped
-    epi_max_steps: int = 1000       # static cap on epipolar search length (ref cap)
+    # Static cap on epipolar scan steps.  The reference caps at 1000 evals of
+    # ~0.7px (matcher.cpp:251-256); our strip scan instead BUMPS the search
+    # level until the whole segment fits in max_steps 1-px samples, so a much
+    # smaller cap covers the same range (coarser scan + subpixel refinement).
+    epi_max_steps: int = 128
+    # Seeds updated per frame: eligible seeds are compacted to this many
+    # before the epipolar search, so its cost scales with live seeds, not
+    # with the pool capacity.
+    df_update_k: int = 512
 
     # --- static capacities (TPU additions; not in the reference) ---
     max_seeds: int = 2048           # live depth-filter seeds (SoA pool)

@@ -143,12 +143,21 @@ def init_seeds(m: MapState, kf_slot: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("max_n_kfs", "conv_thresh",
-                                             "max_steps"))
+                                             "max_steps", "update_k"))
 def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
                  max_n_kfs: int = 3, conv_thresh: float = 200.0,
-                 max_steps: int = 256
+                 max_steps: int = 256, update_k: int = 0
                  ) -> Tuple[MapState, SeedUpdateStats]:
-    """One batched update of ALL active seeds against the current frame."""
+    """One batched update of ALL active seeds against the current frame.
+
+    `update_k > 0` compacts the eligible seeds to at most that many before
+    the epipolar search (gather -> match -> scatter), so the scan cost
+    scales with LIVE seeds instead of the pool capacity.  Eligible seeds
+    beyond the cap are skipped this frame (no Bayesian update, no outlier
+    evidence) — the reference's mapping thread similarly only processes
+    what fits in its time budget before the next frame preempts it
+    (depth_filter.cpp:197-213).
+    """
     seed = m.seed
     S = seed.active.shape[0]
 
@@ -175,19 +184,42 @@ def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
     z_inv_max = jnp.maximum(seed.mu - sig, 1e-8)
     d_min = 1.0 / jnp.maximum(z_inv_min, 1e-8)
     d_max = 1.0 / z_inv_max
-    ref_pool = BoundPyramidPool(m.kf.flat_pyr, cur_pyr.shapes, kf_idx)
-    match = epipolar_match(
-        cur_pyr, ref_pool, cam, T_cur_ref, seed.px, seed.f, seed.level,
-        d_estimate=1.0 / mu_safe, d_min=d_min, d_max=d_max,
-        valid=eligible, max_steps=max_steps)
-    matched = eligible & match.success
+
+    if update_k and update_k < S:
+        # compact: eligible seeds first (stable, preserves pool order)
+        sel = jnp.argsort(~eligible, stable=True)[:update_k]
+        gather = lambda a: a[sel]
+        elig_c = eligible[sel]
+        match_c = epipolar_match(
+            cur_pyr,
+            BoundPyramidPool(m.kf.flat_pyr, cur_pyr.shapes, kf_idx[sel]),
+            cam, jax.tree.map(gather, T_cur_ref),
+            seed.px[sel], seed.f[sel], seed.level[sel],
+            d_estimate=gather(1.0 / mu_safe), d_min=gather(d_min),
+            d_max=gather(d_max), valid=elig_c, max_steps=max_steps)
+        # scatter back; seeds beyond the cap read as "not searched"
+        searched = jnp.zeros((S,), bool).at[sel].set(elig_c)
+        success = jnp.zeros((S,), bool).at[sel].set(
+            match_c.success & elig_c)
+        depth_ref = jnp.ones((S,), jnp.float32).at[sel].set(match_c.depth_ref)
+        matched = success
+        failed_search = searched & ~success
+    else:
+        ref_pool = BoundPyramidPool(m.kf.flat_pyr, cur_pyr.shapes, kf_idx)
+        match = epipolar_match(
+            cur_pyr, ref_pool, cam, T_cur_ref, seed.px, seed.f, seed.level,
+            d_estimate=1.0 / mu_safe, d_min=d_min, d_max=d_max,
+            valid=eligible, max_steps=max_steps)
+        matched = eligible & match.success
+        depth_ref = match.depth_ref
+        failed_search = eligible & ~match.success
 
     # --- failed match: outlier evidence b += 1 (:243-247)
-    b_new = jnp.where(eligible & ~match.success, seed.b + 1.0, seed.b)
+    b_new = jnp.where(failed_search, seed.b + 1.0, seed.b)
 
     # --- tau and Bayesian update (:249-255)
     px_error_angle = jnp.arctan(1.0 / (2.0 * cam.fx)) * 2.0
-    z = jnp.maximum(match.depth_ref, 1e-8)
+    z = jnp.maximum(depth_ref, 1e-8)
     tau = compute_tau(T_ref_cur.t, seed.f, z, px_error_angle)
     tau_inv = 0.5 * (1.0 / jnp.maximum(1e-7, z - tau) - 1.0 / (z + tau))
     mu2, sigma22, a2, b2 = seed_variance_update(
@@ -215,7 +247,7 @@ def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
                          a=a_out, b=b_out)
     stats = SeedUpdateStats(
         n_updated=jnp.sum(matched).astype(jnp.int32),
-        n_failed=jnp.sum(eligible & ~match.success).astype(jnp.int32),
+        n_failed=jnp.sum(failed_search).astype(jnp.int32),
         n_converged=jnp.sum(converged).astype(jnp.int32),
         n_seeds=jnp.sum(active_out).astype(jnp.int32),
     )

@@ -194,7 +194,7 @@ def vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     m, _stats = df.update_seeds(
         m, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
         conv_thresh=cfg.seed_convergence_sigma2_thresh,
-        max_steps=cfg.epi_max_steps)
+        max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k)
 
     # --- keyframe insertion (cond: only pay detection on KF frames) ------
     def insert_kf(m):

@@ -392,7 +392,8 @@ class FrameHandler:
                 self.map, frame.flat, frame.T_f_w, self.cam,
                 max_n_kfs=cfg.df_max_kf_age,
                 conv_thresh=cfg.seed_convergence_sigma2_thresh,
-                max_steps=cfg.epi_max_steps)
+                max_steps=cfg.epi_max_steps,
+                update_k=cfg.df_update_k)
             info["n_seeds"] = int(stats.n_seeds)
             return RESULT_NO_KEYFRAME, frame, info
 
@@ -434,7 +435,8 @@ class FrameHandler:
             self.map, frame.flat, frame.T_f_w, self.cam,
             max_n_kfs=cfg.df_max_kf_age,
             conv_thresh=cfg.seed_convergence_sigma2_thresh,
-            max_steps=cfg.epi_max_steps)
+            max_steps=cfg.epi_max_steps,
+                update_k=cfg.df_update_k)
         occupied = jnp.zeros((self.n_cells,), bool).at[
             cell_index(frame.feat_px, cfg.grid_size, self.ncx,
                        self.ncy)].max(frame.feat_valid)
