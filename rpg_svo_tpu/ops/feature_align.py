@@ -31,26 +31,15 @@ HALFPATCH = 4
 PATCH = 2 * HALFPATCH          # 8
 BORDERED = PATCH + 2           # 10
 CONV_EPS = 0.03 * 0.03
-
-
-def _sample(img, level, coords):
-    """Dispatch bilinear sampling: plain (H, W) image or FlatPyramid with
-    per-item levels (static dispatch at trace time)."""
-    if isinstance(img, FlatPyramid):
-        return img.bilinear(level[:, None], coords)
-    return bilinear(img, coords)
-
-
-def _patch_offsets():
-    """(64, 2) offsets of the 8x8 patch relative to its center, and the
-    matching (64,) flat indices into a 10x10 bordered patch."""
-    r = jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH
-    ys, xs = jnp.meshgrid(r, r, indexing="ij")
-    offs = jnp.stack([xs.ravel(), ys.ravel()], axis=-1)
-    ij = jnp.arange(PATCH)
-    yy, xx = jnp.meshgrid(ij, ij, indexing="ij")
-    inner = ((yy + 1) * BORDERED + (xx + 1)).ravel()
-    return offs, inner
+# Slack of the per-feature intensity tile around the initial position.
+# The tile is gathered ONCE (TILE^2 scattered gathers, ~ the cost of a
+# single bilinear iteration); every GN iteration then samples the moving
+# 8x8 window from it with dense one-hot selection matmuls — zero further
+# gathers.  Items drifting more than SLACK px from the start fail (the
+# reference lets them wander, but such wanderers virtually never converge
+# within its 0.03px/10-iter budget either).
+SLACK = 4
+TILE = PATCH + 1 + 2 * SLACK   # 17
 
 
 def extract_patch_with_border(img: jnp.ndarray, centers: jnp.ndarray):
@@ -61,6 +50,64 @@ def extract_patch_with_border(img: jnp.ndarray, centers: jnp.ndarray):
     coords = centers[:, None, :] + grid[None]
     vals, ok = bilinear(img, coords)
     return vals, jnp.all(ok, axis=-1)
+
+
+def _gather_tile(cur_img, level, px_init):
+    """One (TILE, TILE) integer-pixel tile per feature around px_init.
+
+    Returns (base (N,2) float (x,y) of the tile origin, tile (N,T,T),
+    ok (N,T,T))."""
+    base = jnp.floor(px_init).astype(jnp.int32) - HALFPATCH - SLACK
+    r = jnp.arange(TILE, dtype=jnp.int32)
+    xg = base[:, 0, None, None] + r[None, None, :]
+    yg = base[:, 1, None, None] + r[None, :, None]
+    if isinstance(cur_img, FlatPyramid):
+        xy = jnp.stack(jnp.broadcast_arrays(xg, yg), axis=-1)
+        vals, ok = cur_img.nearest(level[:, None, None],
+                                   xy.astype(jnp.float32))
+    else:
+        H, W = cur_img.shape
+        ok = (xg >= 0) & (yg >= 0) & (xg < W) & (yg < H)
+        idx = jnp.clip(yg, 0, H - 1) * W + jnp.clip(xg, 0, W - 1)
+        vals = jnp.where(ok, cur_img.reshape(-1)[idx], 0.0)
+    return base.astype(jnp.float32), vals, ok
+
+
+def _select_mats(o):
+    """Bilinear row/col selection matrices for window offset o (N, 2).
+
+    Returns (Px, Py) each (N, PATCH, TILE) with the two-tap bilinear
+    weights, plus (PxB, PyB) binary support masks and an in-bounds mask."""
+    oi = jnp.floor(o).astype(jnp.int32)
+    w = o - oi
+    i8 = jnp.arange(PATCH, dtype=jnp.int32)[None, :, None]
+    jT = jnp.arange(TILE, dtype=jnp.int32)[None, None, :]
+
+    def sel(oid, wd):
+        a = (jT == i8 + oid[:, None, None])
+        b = (jT == i8 + oid[:, None, None] + 1)
+        m = a.astype(jnp.float32) * (1.0 - wd)[:, None, None] \
+            + b.astype(jnp.float32) * wd[:, None, None]
+        return m, (a | b).astype(jnp.float32)
+
+    Px, PxB = sel(oi[:, 0], w[:, 0])
+    Py, PyB = sel(oi[:, 1], w[:, 1])
+    inb = (oi[:, 0] >= 0) & (oi[:, 1] >= 0) \
+        & (oi[:, 0] <= TILE - PATCH - 1) & (oi[:, 1] <= TILE - PATCH - 1)
+    return Px, Py, PxB, PyB, inb
+
+
+def _window(tile, okf, o):
+    """Sample the 8x8 bilinear window at float offset o from the tile.
+
+    Returns (cur (N, 64) row-major y*8+x, usable (N,))."""
+    Px, Py, PxB, PyB, inb = _select_mats(o)
+    cur = jnp.einsum("nit,ntu->niu", Py, tile)
+    cur = jnp.einsum("niu,nju->nij", cur, Px)           # (N, 8y, 8x)
+    support = jnp.einsum("nit,ntu->niu", PyB, okf)
+    support = jnp.einsum("niu,nju->n", support, PxB)    # 4 per px if valid
+    usable = inb & (support >= 4.0 * PATCH * PATCH - 0.5)
+    return cur.reshape(-1, PATCH * PATCH), usable
 
 
 def _border_gradients(patch_b: jnp.ndarray):
@@ -88,18 +135,18 @@ def align2d(cur_img,
     with `level` (N,) giving each item's pyramid level (px in level coords).
     """
     ref, dx, dy = _border_gradients(ref_patch_border)
-    offs, _ = _patch_offsets()
     # fixed 3x3 Hessian per item: J = [dx, dy, 1]
     ones = jnp.ones_like(dx)
     J = jnp.stack([dx, dy, ones], axis=-1)            # (N, 64, 3)
     H = jnp.einsum("npj,npk->njk", J, J)
     Hinv = jnp.linalg.inv(H + 1e-9 * jnp.eye(3))
+    base, tile, tok = _gather_tile(cur_img, level, px_init)
+    okf = tok.astype(jnp.float32)
 
     def body(_, state):
         uvm, conv = state                              # (N, 3), (N,)
-        coords = uvm[:, None, :2] + offs[None]
-        cur, ok = _sample(cur_img, level, coords)      # (N, 64)
-        in_img = jnp.all(ok, axis=-1)
+        o = uvm[:, :2] - HALFPATCH - base
+        cur, in_img = _window(tile, okf, o)            # (N, 64), (N,)
         res = cur - ref + uvm[:, 2:3]                  # (N, 64)
         Jres = jnp.einsum("np,npj->nj", res, J)        # (N, 3)
         upd = jnp.einsum("njk,nk->nj", Hinv, Jres)
@@ -108,7 +155,7 @@ def align2d(cur_img,
         uvm = jnp.where(act[:, None], uvm - upd, uvm)
         step2 = upd[:, 0] ** 2 + upd[:, 1] ** 2
         conv = conv | (act & (step2 < CONV_EPS))
-        # items that fell outside the image never converge
+        # items that fell outside the tile/image never converge
         conv = conv & in_img
         return uvm, conv
 
@@ -129,18 +176,18 @@ def align1d(cur_img,
             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """1-DoF refinement along `direction` (edgelets / epipolar lines)."""
     ref, dx, dy = _border_gradients(ref_patch_border)
-    offs, _ = _patch_offsets()
     dd = dx * direction[:, None, 0] + dy * direction[:, None, 1]  # (N, 64)
     ones = jnp.ones_like(dd)
     J = jnp.stack([dd, ones], axis=-1)                # (N, 64, 2)
     H = jnp.einsum("npj,npk->njk", J, J)
     Hinv = jnp.linalg.inv(H + 1e-9 * jnp.eye(2))
+    base, tile, tok = _gather_tile(cur_img, level, px_init)
+    okf = tok.astype(jnp.float32)
 
     def body(_, state):
         st, conv = state                               # st: (N, 3) u, v, mu
-        coords = st[:, None, :2] + offs[None]
-        cur, ok = _sample(cur_img, level, coords)
-        in_img = jnp.all(ok, axis=-1)
+        o = st[:, :2] - HALFPATCH - base
+        cur, in_img = _window(tile, okf, o)
         res = cur - ref + st[:, 2:3]
         Jres = jnp.einsum("np,npj->nj", res, J)
         upd = jnp.einsum("njk,nk->nj", Hinv, Jres)     # (N, 2): step, dmu

@@ -37,6 +37,55 @@ from rpg_svo_tpu.ops.interp import bilinear, patch_grid
 PATCH_HALFSIZE = 2
 PATCH_SIZE = 2 * PATCH_HALFSIZE
 PATCH_AREA = PATCH_SIZE * PATCH_SIZE
+# Per-feature tile slack (px at the working level): the tile around each
+# feature's initial projection is gathered ONCE per level; every GN
+# iteration samples the moving 4x4 window from it with dense one-hot
+# selection matmuls instead of fresh scattered gathers.  Projections
+# drifting more than SLACK px from the initial pose at that level drop
+# out of the residual (the inter-level coarse-to-fine schedule keeps
+# per-level motion small).
+SLACK = 6
+TILE = PATCH_SIZE + 1 + 2 * SLACK   # 17
+
+
+def _gather_tile(img, uv0):
+    """(TILE, TILE) integer tile per feature around uv0 (N, 2) level px."""
+    base = jnp.floor(uv0).astype(jnp.int32) - PATCH_HALFSIZE - SLACK
+    r = jnp.arange(TILE, dtype=jnp.int32)
+    xg = base[:, 0, None, None] + r[None, None, :]
+    yg = base[:, 1, None, None] + r[None, :, None]
+    H, W = img.shape
+    ok = (xg >= 0) & (yg >= 0) & (xg < W) & (yg < H)
+    idx = jnp.clip(yg, 0, H - 1) * W + jnp.clip(xg, 0, W - 1)
+    vals = jnp.where(ok, img.reshape(-1)[idx], 0.0)
+    return base.astype(jnp.float32), vals, ok.astype(jnp.float32)
+
+
+def _window(tile, okf, o):
+    """Bilinear 4x4 window at float tile-offset o; (N, 16) + usable (N,)."""
+    oi = jnp.floor(o).astype(jnp.int32)
+    w = o - oi
+    iP = jnp.arange(PATCH_SIZE, dtype=jnp.int32)[None, :, None]
+    jT = jnp.arange(TILE, dtype=jnp.int32)[None, None, :]
+
+    def sel(oid, wd):
+        a = (jT == iP + oid[:, None, None])
+        b = (jT == iP + oid[:, None, None] + 1)
+        m = a.astype(jnp.float32) * (1.0 - wd)[:, None, None] \
+            + b.astype(jnp.float32) * wd[:, None, None]
+        return m, (a | b).astype(jnp.float32)
+
+    Px, PxB = sel(oi[:, 0], w[:, 0])
+    Py, PyB = sel(oi[:, 1], w[:, 1])
+    cur = jnp.einsum("niu,nju->nij",
+                     jnp.einsum("nit,ntu->niu", Py, tile), Px)
+    sup = jnp.einsum("niu,nju->n",
+                     jnp.einsum("nit,ntu->niu", PyB, okf), PxB)
+    inb = (oi[:, 0] >= 0) & (oi[:, 1] >= 0) \
+        & (oi[:, 0] <= TILE - PATCH_SIZE - 1) \
+        & (oi[:, 1] <= TILE - PATCH_SIZE - 1)
+    usable = inb & (sup >= 4.0 * PATCH_AREA - 0.5)
+    return cur.reshape(-1, PATCH_AREA), usable
 
 
 class AlignResult(NamedTuple):
@@ -54,17 +103,20 @@ def _precompute_level(ref_img, cam_fx, feats_px, feats_f, feats_depth,
     """
     scale = 1.0 / (2.0 ** level)
     uv = feats_px * scale                         # level-l float px coords
-    grid = patch_grid(PATCH_HALFSIZE)             # (A, 2)
-    coords = uv[:, None, :] + grid[None]          # (N, A, 2)
-    # intensities and gradients from the reference level image
-    vals, ok = bilinear(ref_img, coords)
-    px1, _ = bilinear(ref_img, coords + jnp.array([1.0, 0.0]))
-    mx1, okm = bilinear(ref_img, coords - jnp.array([1.0, 0.0]))
-    py1, _ = bilinear(ref_img, coords + jnp.array([0.0, 1.0]))
-    my1, okm2 = bilinear(ref_img, coords - jnp.array([0.0, 1.0]))
-    dx = 0.5 * (px1 - mx1)
-    dy = 0.5 * (py1 - my1)
-    valid = feats_valid & (feats_depth > 1e-6) & jnp.all(ok & okm & okm2, -1)
+    # one bordered (P+2)^2 bilinear sample set gives the patch AND its
+    # central-difference gradients (identical values to sampling the 4
+    # shifted patches, at ~half the gathers)
+    grid_b = patch_grid(PATCH_HALFSIZE, border=1)     # ((P+2)^2, 2)
+    coords = uv[:, None, :] + grid_b[None]
+    vals_b, okb = bilinear(ref_img, coords)
+    B = PATCH_SIZE + 2
+    pb = vals_b.reshape(-1, B, B)
+    vals = pb[:, 1:-1, 1:-1].reshape(-1, PATCH_AREA)
+    dx = (0.5 * (pb[:, 1:-1, 2:] - pb[:, 1:-1, :-2])).reshape(
+        -1, PATCH_AREA)
+    dy = (0.5 * (pb[:, 2:, 1:-1] - pb[:, :-2, 1:-1])).reshape(
+        -1, PATCH_AREA)
+    valid = feats_valid & (feats_depth > 1e-6) & jnp.all(okb, -1)
     p_ref = feats_f * feats_depth[:, None]        # (N, 3) camera-frame point
     fjac = jacobian_xyz2uv(p_ref)                 # (N, 2, 6)
     jac = (dx[..., None] * fjac[:, None, 0, :]
@@ -76,15 +128,17 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
               level: int, n_iter: int, eps: float):
     """GN iterations at one level; carries best (lowest-chi2) pose."""
     scale = 1.0 / (2.0 ** level)
-    grid = patch_grid(PATCH_HALFSIZE)
+    uv0 = cam.world2cam(T_init.apply(p_ref)) * scale
+    base, tile, okf = _gather_tile(cur_img, uv0)
 
     def residuals(T: SE3):
         p_cur = T.apply(p_ref)                    # (N, 3)
         behind = p_cur[..., 2] <= 1e-6
         uv_cur = cam.world2cam(p_cur) * scale     # (N, 2) level-l coords
-        coords = uv_cur[:, None, :] + grid[None]
-        vals, ok = bilinear(cur_img, coords)
-        m = valid[:, None] & ok & (~behind)[:, None]
+        o = uv_cur - PATCH_HALFSIZE - base
+        vals, usable = _window(tile, okf, o)      # (N, A), (N,)
+        m = (valid & usable & (~behind))[:, None] \
+            & jnp.ones((1, PATCH_AREA), bool)
         res = jnp.where(m, vals - ref_patch, 0.0)
         return res, m
 
