@@ -67,6 +67,58 @@ def status_line(info: Info, fps: Optional[float] = None) -> str:
             f"{'KF' if info.is_keyframe else '  '}")
 
 
+@dataclasses.dataclass
+class DenseInput:
+    """svo_msgs/DenseInput equivalent (visualizer.cpp:269-314): everything
+    a downstream dense-reconstruction consumer needs per frame."""
+    frame_id: int
+    timestamp: float
+    image: np.ndarray          # (H, W) grayscale
+    t_w_c: np.ndarray          # (3,) camera position in world
+    q_w_c: np.ndarray          # (4,) xyzw camera orientation in world
+    min_depth: float
+    max_depth: float
+
+
+def dense_input_from_frame(frame_id: int, timestamp: float,
+                           image, T_f_w, point_pos_cam) -> DenseInput:
+    """Build the DenseInput record: pose is cam-in-world; depth range is
+    the min/max z of the frame's observed points in the camera frame
+    (visualizer.cpp:285-297)."""
+    from rpg_svo_tpu.geometry.se3 import rot_to_quat
+    import jax.numpy as jnp
+    z = np.asarray(point_pos_cam)[:, 2]
+    z = z[np.isfinite(z) & (z > 0)]
+    T_w_c = T_f_w.inverse()
+    return DenseInput(
+        frame_id=frame_id, timestamp=timestamp,
+        image=np.asarray(image),
+        t_w_c=np.asarray(T_w_c.t),
+        q_w_c=np.asarray(rot_to_quat(T_w_c.R)),
+        min_depth=float(z.min()) if z.size else 0.0,
+        max_depth=float(z.max()) if z.size else 0.0,
+    )
+
+
+def pose_with_covariance(T_f_w, Cov: np.ndarray,
+                         world_in_cam: bool = False):
+    """Pose + 6x6 covariance for publishing (visualizer.cpp:163-196).
+
+    world_in_cam=True returns (T_f_w, Cov) unchanged (the covariance is
+    estimated in the camera frame by the pose optimizer); otherwise the
+    pose is inverted to cam-in-world and the covariance transformed by
+    the SE3 adjoint congruence Cov_w = Adj(T_w_c) Cov Adj(T_w_c)^T.
+    (The reference writes Adj(T) Cov Adj(T^-1), visualizer.cpp:182, which
+    is not symmetric — the congruence is the correct covariance
+    transform for a change of tangent-space frame.)"""
+    if world_in_cam:
+        return T_f_w, np.asarray(Cov)
+    import numpy as _np
+    T_w_c = T_f_w.inverse()
+    A = _np.asarray(T_w_c.adjoint())
+    return T_w_c, A @ _np.asarray(Cov) @ A.T
+
+
 class InfoStream:
     """Rolling per-frame Info collection with fps estimation
     (frame_handler_base's ring-buffer fps readout equivalent)."""

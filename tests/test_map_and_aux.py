@@ -113,3 +113,24 @@ def test_viz_helpers():
     s.push(info)
     s.push(info)
     assert s.fps is not None and s.fps > 0
+
+
+def test_pose_with_covariance_adjoint():
+    from rpg_svo_tpu.viz import pose_with_covariance, dense_input_from_frame
+    from rpg_svo_tpu.geometry.se3 import SE3
+    import jax.numpy as jnp
+    T = SE3.exp(jnp.array([0.1, -0.2, 0.3, 0.05, -0.02, 0.1]))
+    Cov = np.diag([1e-4, 2e-4, 3e-4, 1e-5, 2e-5, 3e-5])
+    # world_in_cam: unchanged
+    T1, C1 = pose_with_covariance(T, Cov, world_in_cam=True)
+    assert np.allclose(C1, Cov)
+    # cam-in-world: transformed by adjoint, still symmetric PSD
+    T2, C2 = pose_with_covariance(T, Cov, world_in_cam=False)
+    assert np.allclose(C2, C2.T, atol=1e-10)
+    assert np.all(np.linalg.eigvalsh(C2) > 0)
+    assert np.allclose(np.asarray(T2.t), np.asarray(T.inverse().t))
+
+    d = dense_input_from_frame(
+        7, 0.5, np.zeros((8, 8)), T,
+        np.array([[0.0, 0.0, 1.5], [0.1, 0.1, 3.0], [0, 0, -1.0]]))
+    assert d.min_depth == 1.5 and d.max_depth == 3.0 and d.frame_id == 7
