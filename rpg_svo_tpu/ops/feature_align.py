@@ -122,24 +122,43 @@ def _border_gradients(patch_b: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter",))
-def align2d(cur_img,
-            ref_patch_border: jnp.ndarray,   # (N, 100)
-            px_init: jnp.ndarray,            # (N, 2) level coords
-            valid: jnp.ndarray,              # (N,)
-            n_iter: int = 10,
-            level: jnp.ndarray | None = None
-            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Refine px (N, 2); returns (px, converged (N,)).
+def align_features(cur_img,
+                   ref_patch_border: jnp.ndarray,   # (N, 100)
+                   px_init: jnp.ndarray,            # (N, 2) level coords
+                   valid: jnp.ndarray,              # (N,)
+                   n_iter: int = 10,
+                   level: jnp.ndarray | None = None,
+                   direction: jnp.ndarray | None = None,  # (N, 2) unit
+                   is_1d: jnp.ndarray | None = None       # (N,) bool
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unified batched subpixel refinement; returns (px, converged (N,)).
+
+    Items with is_1d=False run the 3-param (u, v, mean_diff) align2D;
+    items with is_1d=True run the 2-param align1D constrained along
+    `direction` (edgelets: matcher.cpp:161-167; both share one tile
+    gather and one window sampling per iteration).
 
     cur_img: (H, W) image (px in that image's coords), or a FlatPyramid
-    with `level` (N,) giving each item's pyramid level (px in level coords).
+    with `level` (N,) giving each item's pyramid level (px in level
+    coords).
     """
+    N = px_init.shape[0]
+    if direction is None:
+        direction = jnp.tile(jnp.array([[1.0, 0.0]], jnp.float32), (N, 1))
+    if is_1d is None:
+        is_1d = jnp.zeros((N,), bool)
     ref, dx, dy = _border_gradients(ref_patch_border)
-    # fixed 3x3 Hessian per item: J = [dx, dy, 1]
     ones = jnp.ones_like(dx)
-    J = jnp.stack([dx, dy, ones], axis=-1)            # (N, 64, 3)
-    H = jnp.einsum("npj,npk->njk", J, J)
-    Hinv = jnp.linalg.inv(H + 1e-9 * jnp.eye(3))
+    # 2-D: fixed 3x3 Hessian per item, J2 = [dx, dy, 1]
+    J2 = jnp.stack([dx, dy, ones], axis=-1)           # (N, 64, 3)
+    H2 = jnp.einsum("npj,npk->njk", J2, J2)
+    H2inv = jnp.linalg.inv(H2 + 1e-9 * jnp.eye(3))
+    # 1-D: directional gradient, J1 = [dd, 1]
+    dd = dx * direction[:, None, 0] + dy * direction[:, None, 1]
+    J1 = jnp.stack([dd, ones], axis=-1)               # (N, 64, 2)
+    H1 = jnp.einsum("npj,npk->njk", J1, J1)
+    H1inv = jnp.linalg.inv(H1 + 1e-9 * jnp.eye(2))
+
     base, tile, tok = _gather_tile(cur_img, level, px_init)
     okf = tok.astype(jnp.float32)
 
@@ -148,12 +167,21 @@ def align2d(cur_img,
         o = uvm[:, :2] - HALFPATCH - base
         cur, in_img = _window(tile, okf, o)            # (N, 64), (N,)
         res = cur - ref + uvm[:, 2:3]                  # (N, 64)
-        Jres = jnp.einsum("np,npj->nj", res, J)        # (N, 3)
-        upd = jnp.einsum("njk,nk->nj", Hinv, Jres)
+        # 2-D update
+        Jres2 = jnp.einsum("np,npj->nj", res, J2)
+        upd2 = jnp.einsum("njk,nk->nj", H2inv, Jres2)  # (du, dv, dmu)
+        # 1-D update along direction
+        Jres1 = jnp.einsum("np,npj->nj", res, J1)
+        upd1 = jnp.einsum("njk,nk->nj", H1inv, Jres1)  # (step, dmu)
+        upd1_uv = upd1[:, 0:1] * direction
+        upd = jnp.where(
+            is_1d[:, None],
+            jnp.concatenate([upd1_uv, upd1[:, 1:2]], -1), upd2)
+        step2 = jnp.where(is_1d, upd1[:, 0] ** 2,
+                          upd2[:, 0] ** 2 + upd2[:, 1] ** 2)
         # inverse compositional: subtract update
         act = valid & in_img & (~conv)
         uvm = jnp.where(act[:, None], uvm - upd, uvm)
-        step2 = upd[:, 0] ** 2 + upd[:, 1] ** 2
         conv = conv | (act & (step2 < CONV_EPS))
         # items that fell outside the tile/image never converge
         conv = conv & in_img
@@ -166,40 +194,17 @@ def align2d(cur_img,
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter",))
-def align1d(cur_img,
-            ref_patch_border: jnp.ndarray,   # (N, 100)
-            px_init: jnp.ndarray,            # (N, 2)
-            direction: jnp.ndarray,          # (N, 2) unit search direction
-            valid: jnp.ndarray,
-            n_iter: int = 10,
-            level: jnp.ndarray | None = None
-            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """1-DoF refinement along `direction` (edgelets / epipolar lines)."""
-    ref, dx, dy = _border_gradients(ref_patch_border)
-    dd = dx * direction[:, None, 0] + dy * direction[:, None, 1]  # (N, 64)
-    ones = jnp.ones_like(dd)
-    J = jnp.stack([dd, ones], axis=-1)                # (N, 64, 2)
-    H = jnp.einsum("npj,npk->njk", J, J)
-    Hinv = jnp.linalg.inv(H + 1e-9 * jnp.eye(2))
-    base, tile, tok = _gather_tile(cur_img, level, px_init)
-    okf = tok.astype(jnp.float32)
+def align2d(cur_img, ref_patch_border, px_init, valid, n_iter: int = 10,
+            level: jnp.ndarray | None = None):
+    """Batched align2D (all items 2-D)."""
+    return align_features(cur_img, ref_patch_border, px_init, valid,
+                          n_iter, level)
 
-    def body(_, state):
-        st, conv = state                               # st: (N, 3) u, v, mu
-        o = st[:, :2] - HALFPATCH - base
-        cur, in_img = _window(tile, okf, o)
-        res = cur - ref + st[:, 2:3]
-        Jres = jnp.einsum("np,npj->nj", res, J)
-        upd = jnp.einsum("njk,nk->nj", Hinv, Jres)     # (N, 2): step, dmu
-        act = valid & in_img & (~conv)
-        duv = upd[:, 0:1] * direction
-        st = jnp.where(act[:, None],
-                       st - jnp.concatenate([duv, upd[:, 1:2]], -1), st)
-        conv = conv | (act & (upd[:, 0] ** 2 < CONV_EPS))
-        conv = conv & in_img
-        return st, conv
 
-    st0 = jnp.concatenate([px_init, jnp.zeros_like(px_init[:, :1])], -1)
-    st, conv = jax.lax.fori_loop(0, n_iter, body,
-                                 (st0, jnp.zeros_like(valid)))
-    return st[:, :2], conv & valid
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def align1d(cur_img, ref_patch_border, px_init, direction, valid,
+            n_iter: int = 10, level: jnp.ndarray | None = None):
+    """Batched align1D along `direction` (all items 1-D)."""
+    ones = jnp.ones(px_init.shape[:1], bool)
+    return align_features(cur_img, ref_patch_border, px_init, valid,
+                          n_iter, level, direction=direction, is_1d=ones)

@@ -35,12 +35,19 @@ from rpg_svo_tpu.geometry.cameras import project2d
 from rpg_svo_tpu.geometry.triangulation import depth_from_triangulation
 from rpg_svo_tpu.ops.interp import FlatPyramid
 from rpg_svo_tpu.ops.feature_align import (
-    HALFPATCH, PATCH, BORDERED, align2d,
+    HALFPATCH, PATCH, BORDERED, align2d, align_features,
 )
 
 # static cap on epipolar scan steps (reference caps at 1000)
 DEFAULT_MAX_STEPS = 128
 ZMSSD_THRESHOLD = 2000.0 * PATCH * PATCH
+
+# feature types (svo/include/svo/feature.h:28-32)
+FEATURE_CORNER = 0
+FEATURE_EDGELET = 1
+# epipolar edgelet pre-filter: reject when |grad_cur . epi_dir| is below
+# this (epi_search_edgelet_max_angle, matcher.h:90)
+EDGELET_MAX_ANGLE_COS = 0.7
 
 
 def warp_matrix_affine(cam_ref, cam_cur, px_ref: jnp.ndarray,
@@ -170,7 +177,10 @@ def epipolar_match(cur_pyr: FlatPyramid,
                    valid: jnp.ndarray,        # (N,)
                    max_steps: int = DEFAULT_MAX_STEPS,
                    n_iter: int = 10,
-                   max_level: int = 4) -> EpipolarMatch:
+                   max_level: int = 4,
+                   ftr_type: jnp.ndarray | None = None,  # (N,) FEATURE_*
+                   ftr_grad: jnp.ndarray | None = None   # (N, 2)
+                   ) -> EpipolarMatch:
     """Batched epipolar ZMSSD search + subpixel refinement + triangulation.
 
     TPU-shaped scan: instead of gathering an 8x8 patch at every scan
@@ -250,6 +260,18 @@ def epipolar_match(cur_pyr: FlatPyramid,
     found = jnp.isfinite(best_score) & valid & ref_ok
     found = found & (best_score < ZMSSD_THRESHOLD)
 
+    # edgelet pre-filter (matcher.cpp:204-211): reject seeds whose warped
+    # gradient is nearly orthogonal to the epipolar direction — the 1-D
+    # scan cannot localize along an edge parallel to itself
+    if ftr_type is not None:
+        grad_cur = jnp.einsum("nij,nj->ni", A, ftr_grad)
+        grad_cur = grad_cur / jnp.maximum(
+            jnp.linalg.norm(grad_cur, axis=-1, keepdims=True), 1e-12)
+        cosangle = jnp.abs(jnp.sum(grad_cur * dir_lvl, axis=-1))
+        reject = (ftr_type == FEATURE_EDGELET) \
+            & (cosangle < EDGELET_MAX_ANGLE_COS)
+        found = found & ~reject
+
     # subpixel refinement at the search level
     px_ref_out, conv = align2d(cur_pyr, ref_patch_border, best_px, found,
                                n_iter, level=search_level)
@@ -267,6 +289,7 @@ class DirectMatch(NamedTuple):
     px_cur: jnp.ndarray      # (N, 2) refined level-0 coords
     level_cur: jnp.ndarray   # (N,)
     success: jnp.ndarray     # (N,)
+    grad_cur: jnp.ndarray    # (N, 2) warped unit gradient dir (edgelets)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "max_level"))
@@ -281,9 +304,16 @@ def find_match_direct(cur_pyr: FlatPyramid,
                       px_cur_init: jnp.ndarray,  # (N, 2) projected guess
                       valid: jnp.ndarray,
                       n_iter: int = 10,
-                      max_level: int = 4) -> DirectMatch:
+                      max_level: int = 4,
+                      ftr_type: jnp.ndarray | None = None,  # (N,) FEATURE_*
+                      ftr_grad: jnp.ndarray | None = None   # (N, 2)
+                      ) -> DirectMatch:
     """Matcher::findMatchDirect (matcher.cpp:135-177): warp the reference
-    observation's patch and align it at the projected location."""
+    observation's patch and align it at the projected location.  Edgelet
+    observations (ftr_type == FEATURE_EDGELET) refine 1-D along the
+    warped gradient direction A_cur_ref . grad (matcher.cpp:161-167);
+    corners refine 2-D."""
+    N = px_ref.shape[0]
     A = warp_matrix_affine(cam, cam, px_ref, f_ref, depth_ref,
                            T_cur_ref, level_ref)
     search_level = best_search_level(A, level_ref, max_level)
@@ -291,7 +321,18 @@ def find_match_direct(cur_pyr: FlatPyramid,
         A, ref_pyr, px_ref, level_ref, search_level)
     scale = 2.0 ** search_level.astype(jnp.float32)
     px_lvl = px_cur_init / scale[:, None]
-    px2, conv = align2d(cur_pyr, patch_border, px_lvl, valid & ref_ok,
-                        n_iter, level=search_level)
+    if ftr_type is None:
+        is_edge = jnp.zeros((N,), bool)
+        grad = jnp.tile(jnp.array([[1.0, 0.0]], jnp.float32), (N, 1))
+    else:
+        is_edge = ftr_type == FEATURE_EDGELET
+        grad = ftr_grad
+    dir_cur = jnp.einsum("nij,nj->ni", A, grad)
+    dir_cur = dir_cur / jnp.maximum(
+        jnp.linalg.norm(dir_cur, axis=-1, keepdims=True), 1e-12)
+    px2, conv = align_features(cur_pyr, patch_border, px_lvl,
+                               valid & ref_ok, n_iter, level=search_level,
+                               direction=dir_cur, is_1d=is_edge)
     out_px = jnp.where(conv[:, None], px2, px_lvl)
-    return DirectMatch(out_px * scale[:, None], search_level, conv)
+    return DirectMatch(out_px * scale[:, None], search_level, conv,
+                       dir_cur)

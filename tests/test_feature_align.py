@@ -1,6 +1,7 @@
 """Feature alignment tests (ref: svo/test/test_feature_alignment.cpp —
 known-offset recovery with subpixel accuracy)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -103,3 +104,72 @@ def test_align2d_invalid_stays_put(frame_and_corners):
     px_out, conv = align2d(img, ref_patches, px + 2.0, valid, n_iter=5)
     assert not bool(conv.any())
     np.testing.assert_allclose(np.asarray(px_out), np.asarray(px + 2.0))
+
+
+def test_align_features_mixed_1d_2d(frame_and_corners):
+    """Unified aligner: 2-D items recover both axes; 1-D items recover
+    only the along-direction component of a known offset."""
+    from rpg_svo_tpu.ops.feature_align import align_features
+    img, px = frame_and_corners
+    ref_patches, ok = extract_patch_with_border(img, px)
+    n = px.shape[0]
+    direction = jnp.tile(jnp.array([[1.0, 0.0]], jnp.float32), (n, 1))
+    offset = jnp.array([1.4, 0.9])
+    is_1d = jnp.arange(n) % 2 == 0
+    px_out, conv = align_features(
+        img, ref_patches, px + offset, jnp.ones((n,), bool),
+        n_iter=20, direction=direction, is_1d=is_1d)
+    err = np.asarray(px_out - px)
+    conv = np.asarray(conv)
+    # 2-D items: both components recovered
+    e2 = np.abs(err[~np.asarray(is_1d) & conv])
+    assert e2.shape[0] >= 1 and np.median(e2[:, 0]) < 0.05 \
+        and np.median(e2[:, 1]) < 0.05
+    # 1-D items: x (along dir) recovered, y offset untouched
+    e1 = err[np.asarray(is_1d) & conv]
+    assert e1.shape[0] >= 1
+    assert np.median(np.abs(e1[:, 1] - 0.9)) < 1e-5
+
+
+def test_edgelet_epipolar_prefilter():
+    """Edgelets with gradient orthogonal to the epipolar line are
+    rejected (matcher.cpp:204-211); parallel gradients may match."""
+    from rpg_svo_tpu.ops.matcher import (
+        epipolar_match, FEATURE_EDGELET, FEATURE_CORNER,
+    )
+    from rpg_svo_tpu.geometry.se3 import SE3
+    ds = SyntheticDataset(n_frames=2, trajectory="line", speed=0.05)
+    img0, depth0, T0 = ds.frame(0)
+    img1, _, T1 = ds.frame(1)
+    fp0 = FlatPyramid(build_pyramid(img0, 5))
+    fp1 = FlatPyramid(build_pyramid(img1, 5))
+    rng = np.random.default_rng(3)
+    n = 32
+    px = jnp.asarray(rng.uniform([100, 100], [650, 380], (n, 2))
+                     .astype(np.float32))
+    f = ds.cam.cam2world(px)
+    d = depth0[px[:, 1].astype(jnp.int32), px[:, 0].astype(jnp.int32)]
+    T_cur_ref = T1.inverse() * T0
+    Tb = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n,) + a.shape), T_cur_ref)
+    lvl = jnp.zeros((n,), jnp.int32)
+    ok = jnp.ones((n,), bool)
+    # motion is +x: epipolar dir is x; grad (0, 1) is orthogonal
+    grad_orth = jnp.tile(jnp.array([[0.0, 1.0]], jnp.float32), (n, 1))
+    types = jnp.full((n,), FEATURE_EDGELET, jnp.int32)
+    m_orth = epipolar_match(fp1, fp0, ds.cam, Tb, px, f, lvl,
+                            d * 1.0, d * 0.7, d * 1.4, ok,
+                            ftr_type=types, ftr_grad=grad_orth)
+    assert not bool(jnp.any(m_orth.success))
+    # parallel gradient passes the filter; corners unaffected by grad
+    grad_par = jnp.tile(jnp.array([[1.0, 0.0]], jnp.float32), (n, 1))
+    m_par = epipolar_match(fp1, fp0, ds.cam, Tb, px, f, lvl,
+                           d * 1.0, d * 0.7, d * 1.4, ok,
+                           ftr_type=types, ftr_grad=grad_par)
+    m_corner = epipolar_match(fp1, fp0, ds.cam, Tb, px, f, lvl,
+                              d * 1.0, d * 0.7, d * 1.4, ok,
+                              ftr_type=jnp.full((n,), FEATURE_CORNER,
+                                                jnp.int32),
+                              ftr_grad=grad_orth)
+    assert int(jnp.sum(m_par.success)) > 0
+    assert int(jnp.sum(m_corner.success)) > 0
