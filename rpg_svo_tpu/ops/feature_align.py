@@ -188,8 +188,12 @@ def align_features(cur_img,
         return uvm, conv
 
     uvm0 = jnp.concatenate([px_init, jnp.zeros_like(px_init[:, :1])], -1)
-    uvm, conv = jax.lax.fori_loop(0, n_iter, body,
-                                  (uvm0, jnp.zeros_like(valid)))
+    # unrolled: fixed small trip count; lets XLA fuse across iterations
+    # (sequential lax loops pay per-iteration dispatch on this backend)
+    state = (uvm0, jnp.zeros_like(valid))
+    for it in range(n_iter):
+        state = body(it, state)
+    uvm, conv = state
     return uvm[:, :2], conv & valid
 
 

@@ -75,9 +75,12 @@ def optimize_points(p_w: jnp.ndarray,       # (K, 3)
                 frozen | bad | conv)
 
     chi2_init = jnp.full((p_w.shape[0],), jnp.inf, dtype=jnp.float32)
-    p, _, chi2, _ = jax.lax.fori_loop(
-        0, n_iter, body,
-        (p_w, p_w, chi2_init, jnp.zeros(p_w.shape[0], bool)))
+    # unrolled fixed small trip count (see pose_opt: per-iteration lax
+    # loop dispatch costs more than the fused unrolled chain here)
+    carry = (p_w, p_w, chi2_init, jnp.zeros(p_w.shape[0], bool))
+    for i in range(n_iter):
+        carry = body(i, carry)
+    p, _, chi2, _ = carry
     return p, chi2
 
 

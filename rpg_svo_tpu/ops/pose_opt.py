@@ -75,32 +75,34 @@ def optimize_pose(T_init: SE3,
         chi2 = jnp.sum(jnp.sum(e * e, -1) * w)
         return A, b, chi2
 
-    def body(carry):
-        i, T, T_old, chi2_prev, A_prev, done = carry
+    def body(i, carry):
+        T, T_old, chi2_prev, A_prev, done = carry
         scale = jnp.where(i >= 5, 0.85 / fx, est_scale)
         A, b, new_chi2 = gn_system(T, scale)
         dT = jnp.linalg.solve(A + 1e-12 * jnp.eye(6), b)
-        fail = ((i > 0) & (new_chi2 > chi2_prev)) | jnp.isnan(dT[0])
-        # rollback and stop on failure
+        fail = (~done) & (((i > 0) & (new_chi2 > chi2_prev))
+                          | jnp.isnan(dT[0]))
+        upd = (~done) & (~fail)
+        # fail -> roll back to T_old and stop; done -> frozen; else step
         T_next = jax.tree.map(
-            lambda old, new: jnp.where(fail, old, new), T_old,
-            SE3.exp(dT) * T)
+            lambda old, cur, new: jnp.where(
+                fail, old, jnp.where(upd, new, cur)),
+            T_old, T, SE3.exp(dT) * T)
         T_old_next = jax.tree.map(
-            lambda old, cur: jnp.where(fail, old, cur), T_old, T)
+            lambda old, cur: jnp.where(upd, cur, old), T_old, T)
         converged = jnp.max(jnp.abs(dT)) <= EPS
-        return (i + 1, T_next, T_old_next,
-                jnp.where(fail, chi2_prev, new_chi2),
-                jnp.where(fail, A_prev, A),
-                done | fail | converged)
+        return (T_next, T_old_next,
+                jnp.where(upd, new_chi2, chi2_prev),
+                jnp.where(upd, A, A_prev),
+                done | fail | (upd & converged))
 
-    def cond(carry):
-        i, _, _, _, _, done = carry
-        return (i < n_iter) & (~done)
-
+    # unrolled fixed trip count: sequential lax loops pay per-iteration
+    # dispatch on this backend; unrolling lets XLA fuse the chain
     A0 = jnp.eye(6)
-    init = (jnp.int32(0), T_init, T_init, jnp.float32(0.0), A0,
-            jnp.bool_(False))
-    _, T, _, _, A, _ = jax.lax.while_loop(cond, body, init)
+    carry = (T_init, T_init, jnp.float32(0.0), A0, jnp.bool_(False))
+    for i in range(n_iter):
+        carry = body(jnp.int32(i), carry)
+    T, _, _, A, _ = carry
 
     # covariance: (A * fx^2)^{-1}
     cov = jnp.linalg.inv(A * (fx * fx) + 1e-12 * jnp.eye(6))

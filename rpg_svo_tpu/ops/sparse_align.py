@@ -153,12 +153,8 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
     res0, m0 = residuals(T_init)
     H0, J0, chi20 = normal_eqs(res0, m0)
 
-    def cond(carry):
-        i, _, _, _, _, converged = carry
-        return (i < n_iter) & (~converged)
-
-    def body(carry):
-        i, T, best_T, best_chi2, H_last, _ = carry
+    def one_iter(carry):
+        i, T, best_T, best_chi2, H_last, done = carry
         res, m = residuals(T)
         H, Jres, chi2 = normal_eqs(res, m)
         # damped solve for safety at coarse levels
@@ -166,13 +162,33 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
         bad = jnp.any(jnp.isnan(x)) | (chi2 > best_chi2 * 1.0)
         T_new = T * SE3.exp(-x)
         # rollback semantics: keep best pose seen so far
-        better = chi2 <= best_chi2
+        better = (~done) & (chi2 <= best_chi2)
         best_T = jax.tree.map(lambda a, b: jnp.where(better, a, b), T, best_T)
         best_chi2 = jnp.where(better, chi2, best_chi2)
+        # done -> frozen; bad after first step -> roll back to best
         T_next = jax.tree.map(
-            lambda a, b: jnp.where(bad & (i > 0), a, b), best_T, T_new)
+            lambda cur, bst, new: jnp.where(
+                done, cur, jnp.where(bad & (i > 0), bst, new)),
+            T, best_T, T_new)
         converged = jnp.max(jnp.abs(x)) < eps
-        return i + 1, T_next, best_T, best_chi2, H, converged
+        return (jnp.where(done, i, i + 1), T_next, best_T, best_chi2,
+                jnp.where(done, H_last, H),
+                done | converged)
+
+    # chunked loop: UNROLL masked iterations per while_loop step — the
+    # sequential lax loop pays per-iteration dispatch on this backend, so
+    # amortize it over UNROLL fused iterations; eps early-exit still
+    # bounds the total at ~n_iter.
+    UNROLL = 3
+
+    def cond(carry):
+        i, _, _, _, _, done = carry
+        return (i < n_iter) & (~done)
+
+    def body(carry):
+        for _ in range(UNROLL):
+            carry = one_iter(carry)
+        return carry
 
     init = (jnp.int32(0), T_init, T_init, jnp.float32(jnp.inf),
             H0, jnp.bool_(False))
