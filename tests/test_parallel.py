@@ -75,3 +75,50 @@ def test_sharded_seed_update_matches_batched():
                                               x, tau2)
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m2r), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s2r), atol=1e-6)
+
+
+def test_multistream_step_shard_map():
+    """4 independent camera streams, one per device, via shard_map."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    import numpy as np
+    from rpg_svo_tpu.config import fast_preset
+    from rpg_svo_tpu.core.pipeline import FrameHandler
+    from rpg_svo_tpu.core import fused
+    from rpg_svo_tpu.parallel.streams import (
+        stack_states, index_state, multistream_step, vmapped_vo_step,
+    )
+    from rpg_svo_tpu.utils.synthetic import SyntheticDataset
+
+    B = 4
+    devs = np.array(jax.devices()[:B])
+    mesh = Mesh(devs, ("dp",))
+    ds = SyntheticDataset(n_frames=24)
+    cfg = fast_preset(grid_size=25)
+    fh = FrameHandler(ds.cam, cfg)
+    img0, depth0, T0 = ds.frame(0)
+    fh.set_first_frame_with_depth(img0, T0.inverse(), depth0)
+    for i in range(1, 8):
+        fh.add_image(ds.frame(i)[0], timestamp=i / 50)
+    s0 = fused.state_from_handler(fh)
+    states = stack_states([s0] * B)
+    imgs = jnp.stack([ds.frame(8)[0]] * B)
+    states2, out = multistream_step(mesh, states, imgs, ds.cam, cfg,
+                                    fh.ncx, fh.ncy, fh.img_shape)
+    assert out.t_wc.shape == (B, 3)
+    assert not bool(out.failed.any())
+    # identical streams give identical results
+    assert np.allclose(np.asarray(out.t_wc[0]), np.asarray(out.t_wc[1]))
+    # and match the single-stream step
+    _, out1 = fused.vo_step(s0, ds.frame(8)[0], ds.cam, cfg,
+                            fh.ncx, fh.ncy, fh.img_shape)
+    assert np.allclose(np.asarray(out.t_wc[0]), np.asarray(out1.t_wc),
+                       atol=1e-5)
+    # vmapped variant agrees too
+    _, outv = vmapped_vo_step(states, imgs, ds.cam, cfg,
+                              fh.ncx, fh.ncy, fh.img_shape)
+    assert np.allclose(np.asarray(outv.t_wc[0]), np.asarray(out1.t_wc),
+                       atol=1e-4)
+    s_one = index_state(states2, 0)
+    assert s_one.t.shape == (3,)
