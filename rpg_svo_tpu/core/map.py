@@ -394,3 +394,32 @@ def scrub_dead_references(m: MapState) -> MapState:
 
 def n_active_kfs(m: MapState) -> jnp.ndarray:
     return jnp.sum(m.kf.active)
+
+
+def transform_map(m: MapState, R: jnp.ndarray, t: jnp.ndarray,
+                  s: jnp.ndarray) -> MapState:
+    """Global similarity transform of the whole map (Map::transform,
+    map.cpp:176-193): world points and camera positions map through
+    p' = s R p + t; camera orientations rotate by R.
+
+    The reference applies this before seeds exist (bootstrap scale
+    normalization); we also rescale the inverse-depth seeds (depths in
+    their keyframe's frame scale by s) so it is safe at any time.
+    """
+    kf = m.kf
+    pos_w = kf_positions(kf)                       # (K, 3) camera centers
+    pos_new = s * jnp.einsum("ij,kj->ki", R, pos_w) + t
+    # T_f_w' = (R_glob R_w_f, pos')^{-1}
+    R_wf = jnp.swapaxes(kf.R, -1, -2)
+    rot = jnp.einsum("ij,kjl->kil", R, R_wf)       # cam->world after
+    T_w_f = SE3(rot, pos_new)
+    T_f_w = T_w_f.inverse()
+    pt_pos = s * jnp.einsum("ij,pj->pi", R, m.pt.pos) + t
+    seed = m.seed
+    seed = seed._replace(mu=seed.mu / s, sigma2=seed.sigma2 / (s * s),
+                         z_range=seed.z_range / s)
+    return m._replace(
+        kf=kf._replace(R=T_f_w.R, t=T_f_w.t,
+                       kp5_depth=kf.kp5_depth * s),
+        pt=m.pt._replace(pos=pt_pos),
+        seed=seed)

@@ -134,3 +134,37 @@ def test_pose_with_covariance_adjoint():
         7, 0.5, np.zeros((8, 8)), T,
         np.array([[0.0, 0.0, 1.5], [0.1, 0.1, 3.0], [0, 0, -1.0]]))
     assert d.min_depth == 1.5 and d.max_depth == 3.0 and d.frame_id == 7
+
+
+def test_transform_map_consistency():
+    """Global Sim3 transform (Map::transform): reprojection of any point
+    into any keyframe is invariant."""
+    import jax.numpy as jnp
+    from rpg_svo_tpu.core import map as svomap
+    from rpg_svo_tpu.geometry.se3 import SE3
+    from rpg_svo_tpu.core.map import transform_map
+
+    m = svomap.init_map(n_kfs=4, n_feats=8, n_points=16, n_obs=4,
+                        n_seeds=8, flat_len=64)
+    rng = np.random.default_rng(0)
+    # two keyframes with distinct poses, some points
+    T0 = SE3.exp(jnp.asarray(rng.normal(size=6) * 0.2, dtype=jnp.float32))
+    pts = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32)) \
+        + jnp.array([0.0, 0.0, 4.0])
+    kf = m.kf._replace(
+        R=m.kf.R.at[0].set(T0.R), t=m.kf.t.at[0].set(T0.t),
+        active=m.kf.active.at[0].set(True))
+    m = m._replace(kf=kf, pt=m.pt._replace(
+        pos=pts, ptype=jnp.full_like(m.pt.ptype, 3)))
+    p_cam_before = T0.apply(pts)
+
+    R = SE3.exp(jnp.array([0, 0, 0, 0.3, -0.2, 0.5], jnp.float32)).R
+    t = jnp.array([1.0, -2.0, 0.5], jnp.float32)
+    s = jnp.float32(2.5)
+    m2 = transform_map(m, R, t, s)
+    T0n = SE3(m2.kf.R[0], m2.kf.t[0])
+    p_cam_after = T0n.apply(m2.pt.pos)
+    # camera-frame coordinates scale by s, directions unchanged
+    np.testing.assert_allclose(np.asarray(p_cam_after),
+                               np.asarray(p_cam_before) * 2.5,
+                               rtol=1e-4, atol=1e-4)
