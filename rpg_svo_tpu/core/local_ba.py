@@ -24,6 +24,29 @@ from rpg_svo_tpu.core.map import (
 )
 
 
+def _extract_observations(m: MapState):
+    """The point store's obs table + origin column as BAProblem arrays:
+    (obs_cam, obs_f, obs_level, obs_mask), each (P, M+1)."""
+    kf = m.kf
+    pt = m.pt
+    K = kf.R.shape[0]
+    kfs = jnp.clip(pt.obs_kf, 0, K - 1)
+    fts = jnp.clip(pt.obs_feat, 0, kf.feat_f.shape[1] - 1)
+    obs_f = kf.feat_f[kfs, fts]
+    obs_level = kf.feat_level[kfs, fts]
+    obs_mask = pt.obs_valid
+    okf = jnp.clip(pt.orig_kf, 0, K - 1)
+    obs_cam = jnp.concatenate([kfs, okf[:, None]], axis=1)
+    obs_f = jnp.concatenate([obs_f, pt.orig_f[:, None]], axis=1)
+    obs_level = jnp.concatenate([obs_level, pt.orig_level[:, None]],
+                                axis=1)
+    obs_mask = jnp.concatenate(
+        [obs_mask, (pt.orig_kf >= 0)[:, None]], axis=1)
+    # only observations on active keyframes count
+    obs_mask = obs_mask & kf.active[jnp.clip(obs_cam, 0, K - 1)]
+    return obs_cam, obs_f, obs_level, obs_mask
+
+
 @functools.partial(jax.jit, static_argnames=("n_iter", "core_n_kfs"))
 def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
                  huber_width_px: jnp.ndarray, reproj_thresh_px: jnp.ndarray,
@@ -46,21 +69,7 @@ def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
         jnp.isfinite(d[order])).at[new_kf_slot].set(True)
     variable = variable & kf.active
 
-    # --- observations: the point obs table + the origin observation -----
-    kfs = jnp.clip(pt.obs_kf, 0, K - 1)
-    fts = jnp.clip(pt.obs_feat, 0, kf.feat_f.shape[1] - 1)
-    obs_f = kf.feat_f[kfs, fts]
-    obs_level = kf.feat_level[kfs, fts]
-    obs_mask = pt.obs_valid
-    okf = jnp.clip(pt.orig_kf, 0, K - 1)
-    obs_cam = jnp.concatenate([kfs, okf[:, None]], axis=1)
-    obs_f = jnp.concatenate([obs_f, pt.orig_f[:, None]], axis=1)
-    obs_level = jnp.concatenate([obs_level, pt.orig_level[:, None]],
-                                axis=1)
-    obs_mask = jnp.concatenate(
-        [obs_mask, (pt.orig_kf >= 0)[:, None]], axis=1)
-    # only observations on active keyframes count
-    obs_mask = obs_mask & kf.active[jnp.clip(obs_cam, 0, K - 1)]
+    obs_cam, obs_f, obs_level, obs_mask = _extract_observations(m)
 
     # points: active, with >= 2 obs, observed by at least one core KF
     n_obs = jnp.sum(obs_mask, axis=1)
@@ -87,4 +96,84 @@ def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
     starved = p_valid & (n_obs_after < 2) & (pt.ptype >= TYPE_UNKNOWN)
     ptype = jnp.where(starved, TYPE_DELETED, pt.ptype)
     pt = pt._replace(pos=pos, obs_valid=new_obs_valid, ptype=ptype)
+    return m._replace(kf=kf, pt=pt)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def run_two_view_ba(m: MapState, slot_fixed: jnp.ndarray,
+                    slot_var: jnp.ndarray,
+                    huber_width: jnp.ndarray,
+                    reproj_thresh_px: jnp.ndarray,
+                    fx: jnp.ndarray, n_iter: int = 10) -> MapState:
+    """ba::twoViewBA (bundle_adjustment.cpp:41-120): after bootstrap,
+    frame 1 fixed, frame 2 + all triangulated points variable; points
+    with any outlier edge (chi2 above the unit-plane threshold) are
+    deleted entirely (safeDeletePoint semantics)."""
+    kf = m.kf
+    pt = m.pt
+    K = kf.R.shape[0]
+    variable = jnp.zeros((K,), bool).at[slot_var].set(True) & kf.active
+
+    obs_cam, obs_f, obs_level, obs_mask = _extract_observations(m)
+    on = lambda s: jnp.any(obs_mask & (obs_cam == s), axis=1)
+    p_valid = (pt.ptype != TYPE_DELETED) & on(slot_fixed) & on(slot_var)
+
+    prob = BAProblem(kf.R, kf.t, variable, pt.pos, p_valid,
+                     obs_cam, obs_f, obs_level, obs_mask)
+    res = solve_ba(prob, n_iter=n_iter,
+                   huber_width=huber_width / fx,
+                   reproj_thresh_unitplane=reproj_thresh_px / fx)
+
+    kf = kf._replace(R=jnp.where(variable[:, None, None], res.R, kf.R),
+                     t=jnp.where(variable[:, None], res.t, kf.t))
+    pos = jnp.where(p_valid[:, None], res.p_w, pt.pos)
+    # any outlier edge kills the whole point (reference deletes the point)
+    bad = p_valid & jnp.any(obs_mask & ~res.obs_inlier, axis=1)
+    ptype = jnp.where(bad, TYPE_DELETED, pt.ptype)
+    return m._replace(kf=kf, pt=pt._replace(pos=pos, ptype=ptype))
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def run_global_ba(m: MapState, huber_width_px: jnp.ndarray,
+                  loba_thresh_px: jnp.ndarray,
+                  poseoptim_thresh_px: jnp.ndarray,
+                  fx: jnp.ndarray, n_iter: int = 10) -> MapState:
+    """ba::globalBA (bundle_adjustment.cpp:253-343): every active
+    keyframe and observed point is variable.  Observations whose CURRENT
+    reprojection error already exceeds the pose-optimizer threshold are
+    excluded up front and removed from the map (stale references after
+    point merging); after the solve, observations with chi2 above the
+    local-BA threshold are removed too (removePtFrameRef semantics)."""
+    from rpg_svo_tpu.geometry.cameras import project2d
+    kf = m.kf
+    pt = m.pt
+    K = kf.R.shape[0]
+    M = pt.obs_kf.shape[1]
+    variable = kf.active
+
+    obs_cam, obs_f, obs_level, obs_mask = _extract_observations(m)
+    # pre-filter: current reprojection error vs poseoptim threshold
+    cam_safe = jnp.clip(obs_cam, 0, K - 1)
+    p_c = jnp.einsum("pmij,pj->pmi", kf.R[cam_safe], pt.pos) \
+        + kf.t[cam_safe]
+    err = project2d(obs_f) - project2d(p_c)
+    err2 = jnp.sum(err * err, axis=-1)
+    thresh1 = (poseoptim_thresh_px / fx) ** 2
+    stale = obs_mask & (err2 > thresh1)
+    obs_mask = obs_mask & ~stale
+
+    p_valid = (pt.ptype != TYPE_DELETED) & (jnp.sum(obs_mask, 1) >= 2)
+    prob = BAProblem(kf.R, kf.t, variable, pt.pos, p_valid,
+                     obs_cam, obs_f, obs_level, obs_mask)
+    res = solve_ba(prob, n_iter=n_iter,
+                   huber_width=huber_width_px / fx,
+                   reproj_thresh_unitplane=loba_thresh_px / fx)
+
+    kf = kf._replace(R=jnp.where(variable[:, None, None], res.R, kf.R),
+                     t=jnp.where(variable[:, None], res.t, kf.t))
+    pos = jnp.where(p_valid[:, None], res.p_w, pt.pos)
+    # prune: stale obs + post-solve outliers (table part only)
+    keep = ~stale[:, :M] & jnp.where(p_valid[:, None],
+                                     res.obs_inlier[:, :M], True)
+    pt = pt._replace(pos=pos, obs_valid=pt.obs_valid & keep)
     return m._replace(kf=kf, pt=pt)

@@ -286,6 +286,20 @@ class FrameHandler:
             jnp.arange(C, dtype=jnp.int32), tv.inlier)
         self.map = m._replace(pt=pt)
 
+        # optional two-view BA over the bootstrap pair (ba::twoViewBA,
+        # run when BA is enabled, like the reference's
+        # USE_BUNDLE_ADJUSTMENT build with lobaNumIter iterations)
+        if self.cfg.loba_num_iter > 0:
+            from rpg_svo_tpu.core.local_ba import run_two_view_ba
+            self.map = run_two_view_ba(
+                self.map, slot0, slot1,
+                jnp.float32(self.cfg.loba_robust_huber_width),
+                jnp.float32(self.cfg.loba_thresh), self.cam.fx,
+                n_iter=self.cfg.loba_num_iter)
+            self.map = svomap.scrub_dead_references(self.map)
+            frame = frame.with_pose(
+                SE3(self.map.kf.R[slot1], self.map.kf.t[slot1]))
+
         frame = frame._replace(
             feat_px=tv.px_cur, feat_f=tv.f_cur, feat_level=lvl0,
             feat_point=jnp.where(tv.inlier, ids, -1),
@@ -512,6 +526,19 @@ class FrameHandler:
 
     def tracking_quality(self) -> str:
         return self.quality
+
+    def global_ba(self, n_iter: int | None = None):
+        """ba::globalBA over the whole keyframe map (on demand, like the
+        reference's offline call)."""
+        from rpg_svo_tpu.core.local_ba import run_global_ba
+        cfg = self.cfg
+        self.map = run_global_ba(
+            self.map, jnp.float32(cfg.loba_robust_huber_width),
+            jnp.float32(cfg.loba_thresh),
+            jnp.float32(cfg.poseoptim_thresh), self.cam.fx,
+            n_iter=n_iter if n_iter is not None else
+            max(cfg.loba_num_iter, 10))
+        self.map = svomap.scrub_dead_references(self.map)
 
     def relocalize_frame_at_pose(self, kf_frame_id: int, T_f_kf: SE3,
                                  img, timestamp: float = 0.0) -> bool:
