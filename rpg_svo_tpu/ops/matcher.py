@@ -163,7 +163,7 @@ def warp_patches_rotated(A_level0: jnp.ndarray, ref_pyr,
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "n_iter",
-                                             "max_level"))
+                                             "max_level", "align_1d"))
 def epipolar_match(cur_pyr: FlatPyramid,
                    ref_pyr: FlatPyramid,
                    cam,
@@ -179,8 +179,8 @@ def epipolar_match(cur_pyr: FlatPyramid,
                    n_iter: int = 10,
                    max_level: int = 4,
                    ftr_type: jnp.ndarray | None = None,  # (N,) FEATURE_*
-                   ftr_grad: jnp.ndarray | None = None   # (N, 2)
-                   ) -> EpipolarMatch:
+                   ftr_grad: jnp.ndarray | None = None,  # (N, 2)
+                   align_1d: bool = False) -> EpipolarMatch:
     """Batched epipolar ZMSSD search + subpixel refinement + triangulation.
 
     TPU-shaped scan: instead of gathering an 8x8 patch at every scan
@@ -272,9 +272,16 @@ def epipolar_match(cur_pyr: FlatPyramid,
             & (cosangle < EDGELET_MAX_ANGLE_COS)
         found = found & ~reject
 
-    # subpixel refinement at the search level
-    px_ref_out, conv = align2d(cur_pyr, ref_patch_border, best_px, found,
-                               n_iter, level=search_level)
+    # subpixel refinement at the search level; align_1d constrains the
+    # refinement along the epipolar direction (matcher.h options_.align_1d)
+    if align_1d:
+        px_ref_out, conv = align_features(
+            cur_pyr, ref_patch_border, best_px, found, n_iter,
+            level=search_level, direction=dir_lvl,
+            is_1d=jnp.ones(best_px.shape[:1], bool))
+    else:
+        px_ref_out, conv = align2d(cur_pyr, ref_patch_border, best_px,
+                                   found, n_iter, level=search_level)
     px_ref_out = jnp.where(conv[:, None], px_ref_out, best_px)
 
     # triangulate refined match
