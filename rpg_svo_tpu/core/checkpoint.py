@@ -48,7 +48,8 @@ def save_handler(path: str, fh) -> None:
     lf = fh.last_frame
     frame_leaves, _ = jax.tree.flatten(
         (lf.pyr, lf.R, lf.t, lf.frame_id, lf.timestamp, lf.feat_px,
-         lf.feat_f, lf.feat_level, lf.feat_point, lf.feat_valid))
+         lf.feat_f, lf.feat_level, lf.feat_point, lf.feat_valid,
+         lf.feat_type, lf.feat_grad))
     np.savez_compressed(
         path,
         n_map=len(flat),
@@ -78,12 +79,12 @@ def load_handler(path: str, fh) -> None:
           for i in range(int(data["n_frame"]))]
     pyr = tuple(fr[:n_lv])
     (R, t, frame_id, ts, feat_px, feat_f, feat_level, feat_point,
-     feat_valid) = fr[n_lv:n_lv + 9]
+     feat_valid, feat_type, feat_grad) = fr[n_lv:n_lv + 11]
     fh.last_frame = FrameState(
         pyr=pyr, flat=FlatPyramid(pyr), R=R, t=t, frame_id=frame_id,
         timestamp=ts, feat_px=feat_px, feat_f=feat_f,
         feat_level=feat_level, feat_point=feat_point,
-        feat_valid=feat_valid)
+        feat_valid=feat_valid, feat_type=feat_type, feat_grad=feat_grad)
     fh.stage = str(data["stage"])
     fh.quality = str(data["quality"])
     fh.next_id = int(data["next_id"])

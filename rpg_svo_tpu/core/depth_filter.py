@@ -138,6 +138,11 @@ def init_seeds(m: MapState, kf_slot: jnp.ndarray,
         z_range=alloc_scatter(seed.z_range, slots, jnp.full((n,), z_range)),
         sigma2=alloc_scatter(seed.sigma2, slots,
                              jnp.full((n,), (z_range * z_range) / 36.0)),
+        ftype=alloc_scatter(seed.ftype, slots,
+                            jnp.zeros((n,), jnp.int32)),
+        grad=alloc_scatter(seed.grad, slots,
+                           jnp.tile(jnp.array([1.0, 0.0], jnp.float32),
+                                    (n, 1))),
     )
     return m._replace(seed=seed, kf_counter=kf_counter)
 
@@ -196,7 +201,8 @@ def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
             cam, jax.tree.map(gather, T_cur_ref),
             seed.px[sel], seed.f[sel], seed.level[sel],
             d_estimate=gather(1.0 / mu_safe), d_min=gather(d_min),
-            d_max=gather(d_max), valid=elig_c, max_steps=max_steps)
+            d_max=gather(d_max), valid=elig_c, max_steps=max_steps,
+            ftr_type=seed.ftype[sel], ftr_grad=seed.grad[sel])
         # scatter back; seeds beyond the cap read as "not searched"
         searched = jnp.zeros((S,), bool).at[sel].set(elig_c)
         success = jnp.zeros((S,), bool).at[sel].set(
@@ -209,7 +215,8 @@ def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
         match = epipolar_match(
             cur_pyr, ref_pool, cam, T_cur_ref, seed.px, seed.f, seed.level,
             d_estimate=1.0 / mu_safe, d_min=d_min, d_max=d_max,
-            valid=eligible, max_steps=max_steps)
+            valid=eligible, max_steps=max_steps,
+            ftr_type=seed.ftype, ftr_grad=seed.grad)
         matched = eligible & match.success
         depth_ref = match.depth_ref
         failed_search = eligible & ~match.success
@@ -237,7 +244,8 @@ def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
     p_w = T_w_kf.apply(seed.f / jnp.maximum(mu_out, 1e-8)[:, None])
     pt, new_ids = alloc_points(
         m.pt, p_w, TYPE_CANDIDATE, seed.kf_slot, seed.px, seed.f,
-        seed.level, converged)
+        seed.level, converged, orig_type=seed.ftype,
+        orig_grad=seed.grad)
 
     # --- prune: converged, NaN, aged-out
     nan_seed = ~jnp.isfinite(z_inv_min) | ~jnp.isfinite(mu_out)

@@ -31,6 +31,8 @@ class FrameState(NamedTuple):
     feat_level: jnp.ndarray    # (C,)
     feat_point: jnp.ndarray    # (C,) point id or -1
     feat_valid: jnp.ndarray    # (C,)
+    feat_type: jnp.ndarray     # (C,) int32 FEATURE_CORNER/EDGELET
+    feat_grad: jnp.ndarray     # (C, 2) unit gradient dir (edgelets)
 
     @property
     def T_f_w(self) -> SE3:
@@ -58,6 +60,9 @@ def make_frame(img: jnp.ndarray, n_levels: int, n_cells: int,
         feat_level=jnp.zeros((n_cells,), jnp.int32),
         feat_point=jnp.full((n_cells,), -1, jnp.int32),
         feat_valid=jnp.zeros((n_cells,), bool),
+        feat_type=jnp.zeros((n_cells,), jnp.int32),
+        feat_grad=jnp.tile(jnp.array([1.0, 0.0], jnp.float32),
+                           (n_cells, 1)),
     )
 
 

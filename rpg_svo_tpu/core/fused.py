@@ -202,7 +202,8 @@ def vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
         m2, slot = svomap.add_keyframe(
             m, flat.flat, T_out, frame_like.frame_id,
             rep.feat_px, feat_f, rep.feat_level, frame_like.feat_point,
-            feat_valid, kf_depth)
+            feat_valid, kf_depth,
+            feat_type=rep.feat_type, feat_grad=rep.feat_grad)
         pt = svomap.add_point_observations(
             m2.pt, frame_like.feat_point,
             jnp.full((C,), slot, jnp.int32),

@@ -40,6 +40,8 @@ class KeyframeStore(NamedTuple):
     feat_level: jnp.ndarray   # (K, F) int32
     feat_point: jnp.ndarray   # (K, F) int32 point index, -1 none
     feat_valid: jnp.ndarray   # (K, F) bool
+    feat_type: jnp.ndarray    # (K, F) int32 FEATURE_CORNER/EDGELET
+    feat_grad: jnp.ndarray    # (K, F, 2) unit gradient dir (edgelets)
     kp5_dir: jnp.ndarray      # (K, 5, 3) bearing of 5 key features
     kp5_depth: jnp.ndarray    # (K, 5) depth along bearing
     kp5_valid: jnp.ndarray    # (K, 5) bool
@@ -64,6 +66,8 @@ class PointStore(NamedTuple):
     orig_px: jnp.ndarray      # (P, 2) level-0 px
     orig_f: jnp.ndarray       # (P, 3) unit bearing
     orig_level: jnp.ndarray   # (P,) int32
+    orig_type: jnp.ndarray    # (P,) int32 FEATURE_*
+    orig_grad: jnp.ndarray    # (P, 2) unit gradient dir
 
     @property
     def active(self) -> jnp.ndarray:
@@ -88,6 +92,8 @@ class SeedStore(NamedTuple):
     mu: jnp.ndarray           # (S,) inverse-depth mean
     z_range: jnp.ndarray      # (S,) inverse-depth range (1/depth_min)
     sigma2: jnp.ndarray       # (S,) inverse-depth variance
+    ftype: jnp.ndarray        # (S,) int32 FEATURE_*
+    grad: jnp.ndarray         # (S, 2) unit gradient dir
 
 
 class MapState(NamedTuple):
@@ -111,6 +117,9 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
         feat_level=jnp.zeros((n_kfs, n_feats), jnp.int32),
         feat_point=jnp.full((n_kfs, n_feats), -1, jnp.int32),
         feat_valid=jnp.zeros((n_kfs, n_feats), bool),
+        feat_type=jnp.zeros((n_kfs, n_feats), jnp.int32),
+        feat_grad=jnp.tile(jnp.array([1.0, 0.0], jnp.float32),
+                           (n_kfs, n_feats, 1)),
         kp5_dir=jnp.tile(jnp.array([0.0, 0.0, 1.0], jnp.float32),
                          (n_kfs, 5, 1)),
         kp5_depth=jnp.ones((n_kfs, 5), jnp.float32),
@@ -130,6 +139,9 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
         orig_f=jnp.tile(jnp.array([0.0, 0.0, 1.0], jnp.float32),
                         (n_points, 1)),
         orig_level=jnp.zeros((n_points,), jnp.int32),
+        orig_type=jnp.zeros((n_points,), jnp.int32),
+        orig_grad=jnp.tile(jnp.array([1.0, 0.0], jnp.float32),
+                           (n_points, 1)),
     )
     seed = SeedStore(
         active=jnp.zeros((n_seeds,), bool),
@@ -143,6 +155,8 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
         mu=jnp.ones((n_seeds,), jnp.float32),
         z_range=jnp.ones((n_seeds,), jnp.float32),
         sigma2=jnp.ones((n_seeds,), jnp.float32),
+        ftype=jnp.zeros((n_seeds,), jnp.int32),
+        grad=jnp.tile(jnp.array([1.0, 0.0], jnp.float32), (n_seeds, 1)),
     )
     return MapState(kf, pt, seed, jnp.int32(0))
 
@@ -219,7 +233,10 @@ def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
                  feat_px: jnp.ndarray, feat_f: jnp.ndarray,
                  feat_level: jnp.ndarray, feat_point: jnp.ndarray,
                  feat_valid: jnp.ndarray,
-                 feat_depth: jnp.ndarray) -> Tuple[MapState, jnp.ndarray]:
+                 feat_depth: jnp.ndarray,
+                 feat_type: jnp.ndarray | None = None,
+                 feat_grad: jnp.ndarray | None = None
+                 ) -> Tuple[MapState, jnp.ndarray]:
     """Insert a keyframe into a free slot; returns (map, slot).
 
     Also computes the 5 'key points' (center + 4 quadrant extremes of the
@@ -227,6 +244,11 @@ def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
     feat_depth: per-feature depth along the bearing (for key points).
     """
     kf = m.kf
+    F = feat_px.shape[0]
+    if feat_type is None:
+        feat_type = jnp.zeros((F,), jnp.int32)
+    if feat_grad is None:
+        feat_grad = jnp.tile(jnp.array([1.0, 0.0], jnp.float32), (F, 1))
     slot = free_slots(kf.active, 1)[0]
     ok = slot >= 0
     s = jnp.where(ok, slot, 0)
@@ -268,6 +290,10 @@ def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
             jnp.where(ok, feat_level, kf.feat_level[s])),
         feat_point=kf.feat_point.at[s].set(
             jnp.where(ok, feat_point, kf.feat_point[s])),
+        feat_type=kf.feat_type.at[s].set(
+            jnp.where(ok, feat_type, kf.feat_type[s])),
+        feat_grad=kf.feat_grad.at[s].set(
+            jnp.where(ok, feat_grad, kf.feat_grad[s])),
         feat_valid=kf.feat_valid.at[s].set(
             jnp.where(ok, feat_valid, kf.feat_valid[s])),
         kp5_dir=kf.kp5_dir.at[s].set(jnp.where(ok, kp_dir, kf.kp5_dir[s])),
@@ -282,10 +308,17 @@ def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
 def alloc_points(pt: PointStore, pos: jnp.ndarray, ptype_val: int,
                  orig_kf: jnp.ndarray, orig_px: jnp.ndarray,
                  orig_f: jnp.ndarray, orig_level: jnp.ndarray,
-                 valid: jnp.ndarray) -> Tuple[PointStore, jnp.ndarray]:
+                 valid: jnp.ndarray,
+                 orig_type: jnp.ndarray | None = None,
+                 orig_grad: jnp.ndarray | None = None
+                 ) -> Tuple[PointStore, jnp.ndarray]:
     """Allocate up to N new points into free pool slots; returns
     (store, slot_ids (N,), -1 where not allocated or invalid)."""
     N = valid.shape[0]
+    if orig_type is None:
+        orig_type = jnp.zeros((N,), jnp.int32)
+    if orig_grad is None:
+        orig_grad = jnp.tile(jnp.array([1.0, 0.0], jnp.float32), (N, 1))
     slots = free_slots(pt.active, N)
     slots = jnp.where(valid, slots, -1)
     ok = slots >= 0
@@ -305,6 +338,8 @@ def alloc_points(pt: PointStore, pos: jnp.ndarray, ptype_val: int,
         orig_px=alloc_scatter(pt.orig_px, slots, orig_px),
         orig_f=alloc_scatter(pt.orig_f, slots, orig_f),
         orig_level=alloc_scatter(pt.orig_level, slots, orig_level),
+        orig_type=alloc_scatter(pt.orig_type, slots, orig_type),
+        orig_grad=alloc_scatter(pt.orig_grad, slots, orig_grad),
     )
     return pt, slots
 

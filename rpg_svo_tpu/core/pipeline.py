@@ -355,7 +355,8 @@ class FrameHandler:
         frame = frame._replace(
             feat_px=rep.feat_px, feat_f=feat_f,
             feat_level=rep.feat_level, feat_point=rep.feat_point,
-            feat_valid=rep.feat_valid)
+            feat_valid=rep.feat_valid, feat_type=rep.feat_type,
+            feat_grad=rep.feat_grad)
         if n_matches < cfg.quality_min_fts:
             return n_matches, 0, frame
 
@@ -420,7 +421,8 @@ class FrameHandler:
             jnp.linalg.norm(frame.T_f_w.apply(
                 self.map.pt.pos[jnp.clip(frame.feat_point, 0,
                                          self.map.pt.pos.shape[0] - 1)]),
-                axis=-1))
+                axis=-1),
+            feat_type=frame.feat_type, feat_grad=frame.feat_grad)
         # point->addFrameRef for all matched features; promote candidates
         pt = svomap.add_point_observations(
             m.pt, frame.feat_point,
@@ -508,7 +510,9 @@ class FrameHandler:
                 feat_px=kf.feat_px[ref_slot], feat_f=kf.feat_f[ref_slot],
                 feat_level=kf.feat_level[ref_slot],
                 feat_point=kf.feat_point[ref_slot],
-                feat_valid=fvalid)
+                feat_valid=fvalid,
+                feat_type=kf.feat_type[ref_slot],
+                feat_grad=kf.feat_grad[ref_slot])
             saved_last = self.last_frame
             self.last_frame = kf_frame
             res, frame, info = self._process_frame(frame, info)

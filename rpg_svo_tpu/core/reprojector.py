@@ -44,6 +44,8 @@ class ReprojectResult(NamedTuple):
     feat_level: jnp.ndarray    # (C,)
     feat_point: jnp.ndarray    # (C,) point id
     feat_valid: jnp.ndarray    # (C,) match success
+    feat_type: jnp.ndarray     # (C,) FEATURE_* (from the ref observation)
+    feat_grad: jnp.ndarray     # (C, 2) warped gradient dir (edgelets)
     n_matches: jnp.ndarray     # scalar
     n_trials: jnp.ndarray      # scalar
 
@@ -123,6 +125,10 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
                       m.kf.feat_f[kf_safe, ft_safe])
     ref_level = jnp.where(use_orig, pt.orig_level[sel_pt],
                           m.kf.feat_level[kf_safe, ft_safe])
+    ref_type = jnp.where(use_orig, pt.orig_type[sel_pt],
+                         m.kf.feat_type[kf_safe, ft_safe])
+    ref_grad = jnp.where(use_orig[:, None], pt.orig_grad[sel_pt],
+                         m.kf.feat_grad[kf_safe, ft_safe])
     # 60 deg cutoff (point.cpp:97-117)
     view_ok = best_cos > 0.5
     attempt = has & view_ok & (ref_kf >= 0)
@@ -136,7 +142,8 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
     px_init = cam.world2cam(T_cur.apply(sel_pos))
     match = find_match_direct(
         cur_pyr, ref_pool, cam, T_cur_ref, ref_px, ref_f, ref_level,
-        depth_ref, px_init, attempt, max_level=max_level)
+        depth_ref, px_init, attempt, max_level=max_level,
+        ftr_type=ref_type, ftr_grad=ref_grad)
     success = attempt & match.success \
         & cam.is_in_frame(match.px_cur, boundary=2.0)
 
@@ -157,6 +164,8 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
         feat_level=match.level_cur,
         feat_point=jnp.where(success, sel_pt, -1),
         feat_valid=success,
+        feat_type=ref_type,
+        feat_grad=match.grad_cur,
         n_matches=jnp.sum(success).astype(jnp.int32),
         n_trials=jnp.sum(attempt).astype(jnp.int32),
     )
