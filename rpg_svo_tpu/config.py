@@ -78,6 +78,11 @@ class Config:
     # before the epipolar search, so its cost scales with live seeds, not
     # with the pool capacity.
     df_update_k: int = 512
+    # Update seeds only every Nth non-keyframe frame (keyframes always
+    # update).  The reference's mapping thread drops frames whenever its
+    # queue (cap 3) is full (depth_filter.cpp:82-97); this is the static
+    # equivalent.  1 = every frame.
+    df_update_every: int = 1
 
     # --- static capacities (TPU additions; not in the reference) ---
     max_seeds: int = 2048           # live depth-filter seeds (SoA pool)
@@ -103,6 +108,7 @@ class Config:
 def fast_preset(**overrides) -> Config:
     """The paper's 'fast' preset (Table I; svo_ros/param/vo_fast.yaml)."""
     base = dict(max_fts=120, max_n_kfs=10, loba_num_iter=0, grid_size=30,
+                df_update_every=2,
                 quality_min_fts=50)
     base.update(overrides)
     return Config(**base)

@@ -191,10 +191,19 @@ def vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     is_kf = (~failed) & need_kf & (~dropped)
 
     # --- depth filter: update all seeds against this frame ---------------
-    m, _stats = df.update_seeds(
-        m, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
-        conv_thresh=cfg.seed_convergence_sigma2_thresh,
-        max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k)
+    # (every df_update_every-th frame; keyframe frames always update —
+    # the reference's queue-drop behavior, depth_filter.cpp:82-97)
+    def do_update(mm):
+        mm2, _ = df.update_seeds(
+            mm, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
+            conv_thresh=cfg.seed_convergence_sigma2_thresh,
+            max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k)
+        return mm2
+    if cfg.df_update_every > 1:
+        due = ((frame_like.frame_id % cfg.df_update_every) == 0) | is_kf
+        m = jax.lax.cond(due, do_update, lambda mm: mm, m)
+    else:
+        m = do_update(m)
 
     # --- keyframe insertion (cond: only pay detection on KF frames) ------
     def insert_kf(m):

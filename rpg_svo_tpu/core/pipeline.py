@@ -403,13 +403,16 @@ class FrameHandler:
         need_kf, _ = _kf_policy(self.map, frame.T_f_w, self.cam,
                                 depth_mean, cfg.kfselect_mindist)
         if (not bool(need_kf)) or self.quality == QUALITY_BAD:
-            self.map, stats = df.update_seeds(
-                self.map, frame.flat, frame.T_f_w, self.cam,
-                max_n_kfs=cfg.df_max_kf_age,
-                conv_thresh=cfg.seed_convergence_sigma2_thresh,
-                max_steps=cfg.epi_max_steps,
-                update_k=cfg.df_update_k)
-            info["n_seeds"] = int(stats.n_seeds)
+            due = cfg.df_update_every <= 1 or \
+                int(frame.frame_id) % cfg.df_update_every == 0
+            if due:
+                self.map, stats = df.update_seeds(
+                    self.map, frame.flat, frame.T_f_w, self.cam,
+                    max_n_kfs=cfg.df_max_kf_age,
+                    conv_thresh=cfg.seed_convergence_sigma2_thresh,
+                    max_steps=cfg.epi_max_steps,
+                    update_k=cfg.df_update_k)
+                info["n_seeds"] = int(stats.n_seeds)
             return RESULT_NO_KEYFRAME, frame, info
 
         # ------- new keyframe -------
