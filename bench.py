@@ -58,8 +58,8 @@ def main():
     state = fused.state_from_handler(fh)
 
     def step(st, img):
-        return fused.vo_step(st, img, ds.cam, cfg, fh.ncx, fh.ncy,
-                             fh.img_shape)
+        return fused.vo_step_donated(st, img, ds.cam, cfg, fh.ncx, fh.ncy,
+                                     fh.img_shape)
 
     # warmup: compile the fused step
     n_warm = min(chunk, imgs.shape[0] - 1)

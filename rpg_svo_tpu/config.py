@@ -109,6 +109,9 @@ def fast_preset(**overrides) -> Config:
     """The paper's 'fast' preset (Table I; svo_ros/param/vo_fast.yaml)."""
     base = dict(max_fts=120, max_n_kfs=10, loba_num_iter=0, grid_size=30,
                 df_update_every=2,
+                # tight KF pool: pool rows are pyramid-sized, and pool
+                # size directly scales map-update bandwidth
+                max_kfs_pool=16,
                 quality_min_fts=50)
     base.update(overrides)
     return Config(**base)

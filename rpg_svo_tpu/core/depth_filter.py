@@ -31,9 +31,13 @@ import jax
 import jax.numpy as jnp
 
 from rpg_svo_tpu.geometry.se3 import SE3
-from rpg_svo_tpu.ops.interp import FlatPyramid, BoundPyramidPool
+from rpg_svo_tpu.ops.interp import FlatPyramid
 from rpg_svo_tpu.ops.detector import detect_features
-from rpg_svo_tpu.ops.matcher import epipolar_match
+from rpg_svo_tpu.ops.matcher import (
+    epipolar_geometry, epipolar_search, warp_affine_patches_tiles,
+    warp_rotated_tiles,
+)
+from rpg_svo_tpu.ops.patches import extract_tiles, empty_tiles
 from rpg_svo_tpu.core.map import (
     MapState, SeedStore, TYPE_CANDIDATE, free_slots, alloc_scatter,
     alloc_points,
@@ -113,9 +117,30 @@ def init_seeds(m: MapState, kf_slot: jnp.ndarray,
 
     Increments the keyframe batch counter (Seed::batch_counter)."""
     det = detect_features(pyramid, occupied, cell_size)
-    good = det["valid"] & (det["score"] > min_score)
+    tile, tile_xy0 = extract_tiles(FlatPyramid(pyramid), det["px"],
+                                   det["level"])
+    det = dict(det, tile=tile, tile_xy0=tile_xy0)
+    return init_seeds_from_detection(m, kf_slot, det, cam, depth_mean,
+                                     depth_min, min_score=min_score)
+
+
+def init_seeds_from_detection(m: MapState, kf_slot: jnp.ndarray, det,
+                              cam, depth_mean: jnp.ndarray,
+                              depth_min: jnp.ndarray,
+                              min_score: float = 20.0,
+                              enable: jnp.ndarray | bool = True
+                              ) -> MapState:
+    """Seed allocation from precomputed detections.  ``enable`` may be a
+    traced bool: when False the call is an exact no-op, so the fused step
+    can run detection under a (small-output) lax.cond and allocate with
+    masked scatters — keeping the big pools out of conditional dataflow."""
+    good = det["valid"] & (det["score"] > min_score) & enable
     n = good.shape[0]
-    kf_counter = m.kf_counter + 1
+    kf_counter = m.kf_counter + jnp.where(enable, 1, 0).astype(jnp.int32)
+    if "tile" in det:
+        det_tile, det_tile_xy0 = det["tile"], det["tile_xy0"]
+    else:
+        det_tile, det_tile_xy0 = empty_tiles(n)
 
     seed = m.seed
     slots = free_slots(seed.active, n)
@@ -143,6 +168,8 @@ def init_seeds(m: MapState, kf_slot: jnp.ndarray,
         grad=alloc_scatter(seed.grad, slots,
                            jnp.tile(jnp.array([1.0, 0.0], jnp.float32),
                                     (n, 1))),
+        tile=alloc_scatter(seed.tile, slots, det_tile),
+        tile_xy0=alloc_scatter(seed.tile_xy0, slots, det_tile_xy0),
     )
     return m._replace(seed=seed, kf_counter=kf_counter)
 
@@ -151,8 +178,8 @@ def init_seeds(m: MapState, kf_slot: jnp.ndarray,
                                              "max_steps", "update_k"))
 def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
                  max_n_kfs: int = 3, conv_thresh: float = 200.0,
-                 max_steps: int = 256, update_k: int = 0
-                 ) -> Tuple[MapState, SeedUpdateStats]:
+                 max_steps: int = 256, update_k: int = 0,
+                 cur_pad=None) -> Tuple[MapState, SeedUpdateStats]:
     """One batched update of ALL active seeds against the current frame.
 
     `update_k > 0` compacts the eligible seeds to at most that many before
@@ -190,19 +217,32 @@ def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
     d_min = 1.0 / jnp.maximum(z_inv_min, 1e-8)
     d_max = 1.0 / z_inv_max
 
+    def _tile_match(px, f, level, tile, tile_xy0, ftype, grad, T_cr,
+                    d_est, dmin, dmax, elig):
+        """Epipolar match with ref patches from the seeds' creation-time
+        tiles — no keyframe-pyramid reads (see ops/patches.py)."""
+        geom = epipolar_geometry(cam, T_cr, px, f, level, d_est, dmin,
+                                 dmax, max_steps=max_steps)
+        ref_b, okb = warp_affine_patches_tiles(
+            geom.A, tile, tile_xy0, px, level, geom.search_level)
+        ref_r, okr = warp_rotated_tiles(
+            geom.A, tile, tile_xy0, px, level, geom.search_level,
+            geom.dir_lvl)
+        return epipolar_search(
+            cur_pyr, cam, geom, T_cr, f, ref_b, ref_r, okb & okr, elig,
+            max_steps=max_steps, ftr_type=ftype, ftr_grad=grad,
+            cur_pad=cur_pad)
+
     if update_k and update_k < S:
         # compact: eligible seeds first (stable, preserves pool order)
         sel = jnp.argsort(~eligible, stable=True)[:update_k]
         gather = lambda a: a[sel]
         elig_c = eligible[sel]
-        match_c = epipolar_match(
-            cur_pyr,
-            BoundPyramidPool(m.kf.flat_pyr, cur_pyr.shapes, kf_idx[sel]),
-            cam, jax.tree.map(gather, T_cur_ref),
-            seed.px[sel], seed.f[sel], seed.level[sel],
-            d_estimate=gather(1.0 / mu_safe), d_min=gather(d_min),
-            d_max=gather(d_max), valid=elig_c, max_steps=max_steps,
-            ftr_type=seed.ftype[sel], ftr_grad=seed.grad[sel])
+        match_c = _tile_match(
+            seed.px[sel], seed.f[sel], seed.level[sel], seed.tile[sel],
+            seed.tile_xy0[sel], seed.ftype[sel], seed.grad[sel],
+            jax.tree.map(gather, T_cur_ref), gather(1.0 / mu_safe),
+            gather(d_min), gather(d_max), elig_c)
         # scatter back; seeds beyond the cap read as "not searched"
         searched = jnp.zeros((S,), bool).at[sel].set(elig_c)
         success = jnp.zeros((S,), bool).at[sel].set(
@@ -211,12 +251,10 @@ def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
         matched = success
         failed_search = searched & ~success
     else:
-        ref_pool = BoundPyramidPool(m.kf.flat_pyr, cur_pyr.shapes, kf_idx)
-        match = epipolar_match(
-            cur_pyr, ref_pool, cam, T_cur_ref, seed.px, seed.f, seed.level,
-            d_estimate=1.0 / mu_safe, d_min=d_min, d_max=d_max,
-            valid=eligible, max_steps=max_steps,
-            ftr_type=seed.ftype, ftr_grad=seed.grad)
+        match = _tile_match(
+            seed.px, seed.f, seed.level, seed.tile, seed.tile_xy0,
+            seed.ftype, seed.grad, T_cur_ref, 1.0 / mu_safe, d_min, d_max,
+            eligible)
         matched = eligible & match.success
         depth_ref = match.depth_ref
         failed_search = eligible & ~match.success
@@ -245,7 +283,8 @@ def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
     pt, new_ids = alloc_points(
         m.pt, p_w, TYPE_CANDIDATE, seed.kf_slot, seed.px, seed.f,
         seed.level, converged, orig_type=seed.ftype,
-        orig_grad=seed.grad)
+        orig_grad=seed.grad, orig_tile=seed.tile,
+        orig_tile_xy0=seed.tile_xy0)
 
     # --- prune: converged, NaN, aged-out
     nan_seed = ~jnp.isfinite(z_inv_min) | ~jnp.isfinite(mu_out)

@@ -30,11 +30,13 @@ import jax.numpy as jnp
 from rpg_svo_tpu.config import Config
 from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.ops.pyramid import build_pyramid, pyramid_shapes
-from rpg_svo_tpu.ops.detector import grid_dims, cell_index
+from rpg_svo_tpu.ops.detector import grid_dims, cell_index, detect_features
 from rpg_svo_tpu.ops.sparse_align import sparse_img_align
 from rpg_svo_tpu.ops.pose_opt import optimize_pose
 from rpg_svo_tpu.ops.interp import FlatPyramid
 from rpg_svo_tpu.ops.robust import masked_median
+from rpg_svo_tpu.ops.patches import extract_tiles, empty_tiles
+from rpg_svo_tpu.ops.pallas_tiles import PaddedPyramid
 from rpg_svo_tpu.core import map as svomap
 from rpg_svo_tpu.core.map import MapState, TYPE_CANDIDATE, TYPE_UNKNOWN
 from rpg_svo_tpu.core.reprojector import reproject_map
@@ -93,17 +95,16 @@ def _kf_pyramid(m: MapState, slot: jnp.ndarray, shapes):
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ncx", "ncy",
-                                             "img_shape"))
-def vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
-            ncx: int, ncy: int,
-            img_shape: Tuple[int, int]) -> Tuple[VOState, StepOut]:
+def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
+             ncx: int, ncy: int,
+             img_shape: Tuple[int, int]) -> Tuple[VOState, StepOut]:
     """One fused tracking+mapping step (DEFAULT or RELOCALIZING stage)."""
     C = ncx * ncy
     n_levels = cfg.n_levels_total
     shapes = pyramid_shapes(img_shape, n_levels)
     pyr = build_pyramid(img, n_levels)
     flat = FlatPyramid(pyr)
+    pad = PaddedPyramid(pyr)   # Pallas aligned-tile source (cur frame)
     m = state.m
     P = m.pt.pos.shape[0]
 
@@ -136,14 +137,14 @@ def vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     align = sparse_img_align(
         ref_pyr, pyr, cam, SE3.identity(), ref_px, ref_f, depth, ref_ok,
         max_level=cfg.klt_max_level, min_level=cfg.klt_min_level,
-        n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps)
+        n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps, cur_pad=pad)
     T_cur = align.T_cur_ref * T_ref
     # relocalization gate: need > 30 tracked to accept the alignment
     reloc_fail = reloc & (align.n_tracked <= 30)
 
     # --- reprojection + matching ----------------------------------------
     pt2, rep = reproject_map(m, flat, T_cur, cam, cfg.grid_size, ncx, ncy,
-                             max_level=n_levels - 1)
+                             max_level=n_levels - 1, cur_pad=pad)
     m = svomap.scrub_dead_references(m._replace(pt=pt2))
     enough = rep.n_matches >= cfg.quality_min_fts
 
@@ -192,58 +193,106 @@ def vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
 
     # --- depth filter: update all seeds against this frame ---------------
     # (every df_update_every-th frame; keyframe frames always update —
-    # the reference's queue-drop behavior, depth_filter.cpp:82-97)
-    def do_update(mm):
+    # the reference's queue-drop behavior, depth_filter.cpp:82-97).
+    # The cond carries only (seed, pt): big read-only state (the keyframe
+    # pyramid pool) enters as an operand but is NOT an output, so skipping
+    # frames never copies it.
+    def do_update(seed_pt):
+        mm = m._replace(seed=seed_pt[0], pt=seed_pt[1])
         mm2, _ = df.update_seeds(
             mm, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
             conv_thresh=cfg.seed_convergence_sigma2_thresh,
-            max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k)
-        return mm2
+            max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k,
+            cur_pad=pad)
+        return mm2.seed, mm2.pt
     if cfg.df_update_every > 1:
         due = ((frame_like.frame_id % cfg.df_update_every) == 0) | is_kf
-        m = jax.lax.cond(due, do_update, lambda mm: mm, m)
+        seed2, pt2 = jax.lax.cond(due, do_update, lambda sp: sp,
+                                  (m.seed, m.pt))
+        m = m._replace(seed=seed2, pt=pt2)
     else:
-        m = do_update(m)
+        seed2, pt2 = do_update((m.seed, m.pt))
+        m = m._replace(seed=seed2, pt=pt2)
 
-    # --- keyframe insertion (cond: only pay detection on KF frames) ------
-    def insert_kf(m):
-        kf_depth = jnp.linalg.norm(T_out.apply(m.pt.pos[pid]), axis=-1)
-        m2, slot = svomap.add_keyframe(
-            m, flat.flat, T_out, frame_like.frame_id,
-            rep.feat_px, feat_f, rep.feat_level, frame_like.feat_point,
-            feat_valid, kf_depth,
-            feat_type=rep.feat_type, feat_grad=rep.feat_grad)
-        pt = svomap.add_point_observations(
-            m2.pt, frame_like.feat_point,
-            jnp.full((C,), slot, jnp.int32),
-            jnp.arange(C, dtype=jnp.int32), feat_valid)
-        hit = jnp.zeros((P,), bool).at[pid].set(
-            feat_valid & (frame_like.feat_point >= 0))
-        ptype = jnp.where(hit & (pt.ptype == TYPE_CANDIDATE),
-                          TYPE_UNKNOWN, pt.ptype)
-        m2 = m2._replace(pt=pt._replace(ptype=ptype))
-        if cfg.loba_num_iter > 0:
-            from rpg_svo_tpu.core.local_ba import run_local_ba
-            m2 = run_local_ba(
+    # --- keyframe insertion ------------------------------------------------
+    # All pool mutations are masked scatters gated on is_kf (an exact no-op
+    # otherwise) rather than a lax.cond over the MapState: a cond's outputs
+    # are fresh buffers, which forced a copy of the keyframe pyramid pool
+    # (hundreds of MB/s of pure data movement) every single frame.  Only
+    # feature DETECTION (big compute, tiny outputs) and local BA run under
+    # conds.
+    kf_depth = jnp.linalg.norm(T_out.apply(m.pt.pos[pid]), axis=-1)
+    # creation-time feature tiles (ops/patches.py), extracted only on
+    # keyframe frames (cond outputs are small: C tiles)
+    ftile, fxy0 = jax.lax.cond(
+        is_kf,
+        lambda _: extract_tiles(pad, rep.feat_px, rep.feat_level),
+        lambda _: empty_tiles(C), None)
+    m2, slot = svomap.add_keyframe(
+        m, flat.flat, T_out, frame_like.frame_id,
+        rep.feat_px, feat_f, rep.feat_level, frame_like.feat_point,
+        feat_valid, kf_depth,
+        feat_type=rep.feat_type, feat_grad=rep.feat_grad, enable=is_kf,
+        feat_tile=ftile, feat_tile_xy0=fxy0)
+    pt = svomap.add_point_observations(
+        m2.pt, frame_like.feat_point,
+        jnp.full((C,), slot, jnp.int32),
+        jnp.arange(C, dtype=jnp.int32), feat_valid & is_kf)
+    hit = jnp.zeros((P,), bool).at[pid].set(
+        feat_valid & (frame_like.feat_point >= 0) & is_kf)
+    ptype = jnp.where(hit & (pt.ptype == TYPE_CANDIDATE),
+                      TYPE_UNKNOWN, pt.ptype)
+    m2 = m2._replace(pt=pt._replace(ptype=ptype))
+    if cfg.loba_num_iter > 0:
+        from rpg_svo_tpu.core.local_ba import run_local_ba
+
+        def do_loba(_):
+            mb = run_local_ba(
                 m2, slot, jnp.float32(cfg.loba_robust_huber_width),
                 jnp.float32(cfg.loba_thresh), cam.fx,
                 n_iter=cfg.loba_num_iter, core_n_kfs=cfg.core_n_kfs)
-        occupied = jnp.zeros((C,), bool).at[
-            cell_index(rep.feat_px, cfg.grid_size, ncx, ncy)].max(
-            feat_valid)
-        m2 = df.init_seeds(
-            m2, slot, pyr, cam, occupied, depth_mean, 0.5 * depth_min_,
-            cell_size=cfg.grid_size,
-            min_score=cfg.triang_min_corner_score)
-        # map cap: drop the furthest KF (but never the one just added)
-        if cfg.max_n_kfs > 2:
-            over = svomap.n_active_kfs(m2) > cfg.max_n_kfs
-            far = svomap.furthest_kf(m2.kf, T_out.inverse().t)
-            drop = jnp.where(over & (far != slot), far, -1)
-            m2 = svomap.delete_keyframe(m2, drop)
-        return m2
+            return mb.kf.R, mb.kf.t, mb.pt.pos, mb.pt.ptype, mb.pt.obs_valid
 
-    m = jax.lax.cond(is_kf, insert_kf, lambda mm: mm, m)
+        def no_loba(_):
+            return (m2.kf.R, m2.kf.t, m2.pt.pos, m2.pt.ptype,
+                    m2.pt.obs_valid)
+
+        Rk, tk, ppos, pty, pobs = jax.lax.cond(is_kf, do_loba, no_loba,
+                                               None)
+        m2 = m2._replace(kf=m2.kf._replace(R=Rk, t=tk),
+                         pt=m2.pt._replace(pos=ppos, ptype=pty,
+                                           obs_valid=pobs))
+    occupied = jnp.zeros((C,), bool).at[
+        cell_index(rep.feat_px, cfg.grid_size, ncx, ncy)].max(feat_valid)
+
+    def do_detect(_):
+        det = detect_features(pyr, occupied, cfg.grid_size)
+        tile, txy0 = extract_tiles(pad, det["px"], det["level"])
+        return (det["px"], det["score"], det["level"], det["valid"],
+                tile, txy0)
+
+    def no_detect(_):
+        nC = occupied.shape[0]
+        tile, txy0 = empty_tiles(nC)
+        return (jnp.zeros((nC, 2), jnp.float32),
+                jnp.zeros((nC,), jnp.float32),
+                jnp.zeros((nC,), jnp.int32),
+                jnp.zeros((nC,), bool), tile, txy0)
+
+    dpx, dscore, dlevel, dvalid, dtile, dtxy0 = jax.lax.cond(
+        is_kf, do_detect, no_detect, None)
+    m2 = df.init_seeds_from_detection(
+        m2, slot, {"px": dpx, "score": dscore, "level": dlevel,
+                   "valid": dvalid, "tile": dtile, "tile_xy0": dtxy0},
+        cam, depth_mean, 0.5 * depth_min_,
+        min_score=cfg.triang_min_corner_score, enable=is_kf)
+    # map cap: drop the furthest KF (but never the one just added)
+    if cfg.max_n_kfs > 2:
+        over = svomap.n_active_kfs(m2) > cfg.max_n_kfs
+        far = svomap.furthest_kf(m2.kf, T_out.inverse().t)
+        drop = jnp.where(is_kf & over & (far != slot), far, -1)
+        m2 = svomap.delete_keyframe(m2, drop)
+    m = m2
 
     # --- stage transition -------------------------------------------------
     # DEFAULT + failure -> RELOC; RELOC + success -> DEFAULT
@@ -262,6 +311,17 @@ def vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
                   is_kf, failed, new_stage,
                   T_wc.t, T_out.R.reshape(-1))
     return new_state, out
+
+
+# public entry points: `vo_step` keeps the input state alive (safe for
+# callers that reuse states, e.g. tests); `vo_step_donated` donates it so
+# XLA updates the map pools in place — the throughput path (bench,
+# pipeline): without donation every step pays a full copy of every
+# updated pool buffer.
+vo_step = functools.partial(jax.jit, static_argnames=(
+    "cfg", "ncx", "ncy", "img_shape"))(_vo_step)
+vo_step_donated = functools.partial(jax.jit, static_argnames=(
+    "cfg", "ncx", "ncy", "img_shape"), donate_argnums=(0,))(_vo_step)
 
 
 class _FrameView(NamedTuple):
@@ -307,11 +367,15 @@ def _structure_opt_fused(m: MapState, fv: _FrameView, n_opt: int,
     return m._replace(pt=pt._replace(pos=pos, last_optim=last))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ncx", "ncy",
-                                             "img_shape"))
-def vo_scan(state: VOState, imgs: jnp.ndarray, cam, cfg: Config,
-            ncx: int, ncy: int, img_shape: Tuple[int, int]):
+def _vo_scan(state: VOState, imgs: jnp.ndarray, cam, cfg: Config,
+             ncx: int, ncy: int, img_shape: Tuple[int, int]):
     """Track a whole image stack (T, H, W) in ONE device program."""
     def step(s, img):
-        return vo_step(s, img, cam, cfg, ncx, ncy, img_shape)
+        return _vo_step(s, img, cam, cfg, ncx, ncy, img_shape)
     return jax.lax.scan(step, state, imgs)
+
+
+vo_scan = functools.partial(jax.jit, static_argnames=(
+    "cfg", "ncx", "ncy", "img_shape"))(_vo_scan)
+vo_scan_donated = functools.partial(jax.jit, static_argnames=(
+    "cfg", "ncx", "ncy", "img_shape"), donate_argnums=(0,))(_vo_scan)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from rpg_svo_tpu.geometry.se3 import SE3
+from rpg_svo_tpu.ops.patches import TILE_R
 
 TYPE_DELETED = 0
 TYPE_CANDIDATE = 1
@@ -45,6 +46,10 @@ class KeyframeStore(NamedTuple):
     kp5_dir: jnp.ndarray      # (K, 5, 3) bearing of 5 key features
     kp5_depth: jnp.ndarray    # (K, 5) depth along bearing
     kp5_valid: jnp.ndarray    # (K, 5) bool
+    # creation-time intensity tile per feature (ops/patches.py): all later
+    # affine patch warps read this instead of the keyframe pyramid
+    feat_tile: jnp.ndarray     # (K, F, TILE_R, TILE_R) f32
+    feat_tile_xy0: jnp.ndarray  # (K, F, 2) int32 tile origin (level coords)
 
     @property
     def T_f_w(self) -> SE3:
@@ -68,6 +73,8 @@ class PointStore(NamedTuple):
     orig_level: jnp.ndarray   # (P,) int32
     orig_type: jnp.ndarray    # (P,) int32 FEATURE_*
     orig_grad: jnp.ndarray    # (P, 2) unit gradient dir
+    orig_tile: jnp.ndarray    # (P, TILE_R, TILE_R) origin-feature tile
+    orig_tile_xy0: jnp.ndarray  # (P, 2) int32
 
     @property
     def active(self) -> jnp.ndarray:
@@ -94,6 +101,8 @@ class SeedStore(NamedTuple):
     sigma2: jnp.ndarray       # (S,) inverse-depth variance
     ftype: jnp.ndarray        # (S,) int32 FEATURE_*
     grad: jnp.ndarray         # (S, 2) unit gradient dir
+    tile: jnp.ndarray         # (S, TILE_R, TILE_R) origin-patch tile
+    tile_xy0: jnp.ndarray     # (S, 2) int32
 
 
 class MapState(NamedTuple):
@@ -124,6 +133,8 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
                          (n_kfs, 5, 1)),
         kp5_depth=jnp.ones((n_kfs, 5), jnp.float32),
         kp5_valid=jnp.zeros((n_kfs, 5), bool),
+        feat_tile=jnp.zeros((n_kfs, n_feats, TILE_R, TILE_R), jnp.float32),
+        feat_tile_xy0=jnp.full((n_kfs, n_feats, 2), -1, jnp.int32),
     )
     pt = PointStore(
         pos=jnp.zeros((n_points, 3), jnp.float32),
@@ -142,6 +153,8 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
         orig_type=jnp.zeros((n_points,), jnp.int32),
         orig_grad=jnp.tile(jnp.array([1.0, 0.0], jnp.float32),
                            (n_points, 1)),
+        orig_tile=jnp.zeros((n_points, TILE_R, TILE_R), jnp.float32),
+        orig_tile_xy0=jnp.full((n_points, 2), -1, jnp.int32),
     )
     seed = SeedStore(
         active=jnp.zeros((n_seeds,), bool),
@@ -157,6 +170,8 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
         sigma2=jnp.ones((n_seeds,), jnp.float32),
         ftype=jnp.zeros((n_seeds,), jnp.int32),
         grad=jnp.tile(jnp.array([1.0, 0.0], jnp.float32), (n_seeds, 1)),
+        tile=jnp.zeros((n_seeds, TILE_R, TILE_R), jnp.float32),
+        tile_xy0=jnp.full((n_seeds, 2), -1, jnp.int32),
     )
     return MapState(kf, pt, seed, jnp.int32(0))
 
@@ -235,13 +250,22 @@ def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
                  feat_valid: jnp.ndarray,
                  feat_depth: jnp.ndarray,
                  feat_type: jnp.ndarray | None = None,
-                 feat_grad: jnp.ndarray | None = None
+                 feat_grad: jnp.ndarray | None = None,
+                 enable: jnp.ndarray | bool = True,
+                 feat_tile: jnp.ndarray | None = None,
+                 feat_tile_xy0: jnp.ndarray | None = None
                  ) -> Tuple[MapState, jnp.ndarray]:
     """Insert a keyframe into a free slot; returns (map, slot).
 
     Also computes the 5 'key points' (center + 4 quadrant extremes of the
     feature set, Frame::setKeyPoints semantics) used for overlap queries.
     feat_depth: per-feature depth along the bearing (for key points).
+
+    ``enable`` may be a traced bool: when False the call is an exact no-op
+    (slot = -1, all writes masked).  This lets the fused step insert
+    keyframes with masked scatters instead of a lax.cond whose outputs
+    would force a copy of the whole keyframe pool (incl. the pyramid
+    buffers) every frame.
     """
     kf = m.kf
     F = feat_px.shape[0]
@@ -249,7 +273,11 @@ def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
         feat_type = jnp.zeros((F,), jnp.int32)
     if feat_grad is None:
         feat_grad = jnp.tile(jnp.array([1.0, 0.0], jnp.float32), (F, 1))
+    if feat_tile is None:
+        from rpg_svo_tpu.ops.patches import empty_tiles
+        feat_tile, feat_tile_xy0 = empty_tiles(F)
     slot = free_slots(kf.active, 1)[0]
+    slot = jnp.where(enable, slot, -1)
     ok = slot >= 0
     s = jnp.where(ok, slot, 0)
 
@@ -301,6 +329,10 @@ def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
             jnp.where(ok, kp_depth, kf.kp5_depth[s])),
         kp5_valid=kf.kp5_valid.at[s].set(
             jnp.where(ok, kp_valid, kf.kp5_valid[s])),
+        feat_tile=kf.feat_tile.at[s].set(
+            jnp.where(ok, feat_tile, kf.feat_tile[s])),
+        feat_tile_xy0=kf.feat_tile_xy0.at[s].set(
+            jnp.where(ok, feat_tile_xy0, kf.feat_tile_xy0[s])),
     )
     return m._replace(kf=kf), slot
 
@@ -310,7 +342,9 @@ def alloc_points(pt: PointStore, pos: jnp.ndarray, ptype_val: int,
                  orig_f: jnp.ndarray, orig_level: jnp.ndarray,
                  valid: jnp.ndarray,
                  orig_type: jnp.ndarray | None = None,
-                 orig_grad: jnp.ndarray | None = None
+                 orig_grad: jnp.ndarray | None = None,
+                 orig_tile: jnp.ndarray | None = None,
+                 orig_tile_xy0: jnp.ndarray | None = None
                  ) -> Tuple[PointStore, jnp.ndarray]:
     """Allocate up to N new points into free pool slots; returns
     (store, slot_ids (N,), -1 where not allocated or invalid)."""
@@ -319,6 +353,9 @@ def alloc_points(pt: PointStore, pos: jnp.ndarray, ptype_val: int,
         orig_type = jnp.zeros((N,), jnp.int32)
     if orig_grad is None:
         orig_grad = jnp.tile(jnp.array([1.0, 0.0], jnp.float32), (N, 1))
+    if orig_tile is None:
+        from rpg_svo_tpu.ops.patches import empty_tiles
+        orig_tile, orig_tile_xy0 = empty_tiles(N)
     slots = free_slots(pt.active, N)
     slots = jnp.where(valid, slots, -1)
     ok = slots >= 0
@@ -340,6 +377,9 @@ def alloc_points(pt: PointStore, pos: jnp.ndarray, ptype_val: int,
         orig_level=alloc_scatter(pt.orig_level, slots, orig_level),
         orig_type=alloc_scatter(pt.orig_type, slots, orig_type),
         orig_grad=alloc_scatter(pt.orig_grad, slots, orig_grad),
+        orig_tile=alloc_scatter(pt.orig_tile, slots, orig_tile),
+        orig_tile_xy0=alloc_scatter(pt.orig_tile_xy0, slots,
+                                    orig_tile_xy0),
     )
     return pt, slots
 

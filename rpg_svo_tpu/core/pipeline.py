@@ -38,6 +38,8 @@ from rpg_svo_tpu.core.map import MapState, TYPE_UNKNOWN, TYPE_CANDIDATE
 from rpg_svo_tpu.core.reprojector import reproject_map
 from rpg_svo_tpu.core import depth_filter as df
 from rpg_svo_tpu.core import initialization as init_mod
+from rpg_svo_tpu.ops.patches import extract_tiles
+from rpg_svo_tpu.ops.pallas_tiles import PaddedPyramid
 
 # stages
 STAGE_PAUSED = "paused"
@@ -174,14 +176,15 @@ class FrameHandler:
         p_w = T_f_w.inverse().apply(f * d[:, None])
 
         # keyframe slot first (points need its slot id)
+        tile, txy0 = extract_tiles(frame.flat, px, det["level"])
         m, slot = svomap.add_keyframe(
             self.map, frame.flat.flat, T_f_w, frame.frame_id,
             px, f, det["level"], jnp.full((self.n_cells,), -1, jnp.int32),
-            good, d)
+            good, d, feat_tile=tile, feat_tile_xy0=txy0)
         pt, ids = svomap.alloc_points(
             m.pt, p_w, svomap.TYPE_GOOD,
             jnp.full((self.n_cells,), slot, jnp.int32), px, f,
-            det["level"], good)
+            det["level"], good, orig_tile=tile, orig_tile_xy0=txy0)
         pt = svomap.add_point_observations(
             pt, ids, jnp.full((self.n_cells,), slot, jnp.int32),
             jnp.arange(self.n_cells, dtype=jnp.int32), good)
@@ -257,16 +260,18 @@ class FrameHandler:
         lvl0 = jnp.zeros((C,), jnp.int32)
 
         # keyframe 0 (world origin) with the inlier features
+        tile0, txy0_0 = extract_tiles(f0.flat, tv.px_ref, lvl0)
         m, slot0 = svomap.add_keyframe(
             self.map, f0.flat.flat, SE3.identity(), f0.frame_id,
             tv.px_ref, tv.f_ref, lvl0,
             jnp.full((C,), -1, jnp.int32), tv.inlier,
-            jnp.linalg.norm(tv.p_w, axis=-1))
+            jnp.linalg.norm(tv.p_w, axis=-1),
+            feat_tile=tile0, feat_tile_xy0=txy0_0)
         # points: UNKNOWN quality, origin = KF0
         pt, ids = svomap.alloc_points(
             m.pt, tv.p_w, TYPE_UNKNOWN,
             jnp.full((C,), slot0, jnp.int32), tv.px_ref, tv.f_ref,
-            lvl0, tv.inlier)
+            lvl0, tv.inlier, orig_tile=tile0, orig_tile_xy0=txy0_0)
         pt = svomap.add_point_observations(
             pt, ids, jnp.full((C,), slot0, jnp.int32),
             jnp.arange(C, dtype=jnp.int32), tv.inlier)
@@ -277,10 +282,11 @@ class FrameHandler:
         # keyframe 1 (current frame)
         p_cur = tv.T_cur_ref.apply(tv.p_w)
         depth1 = jnp.linalg.norm(p_cur, axis=-1)
+        tile1, txy0_1 = extract_tiles(frame.flat, tv.px_cur, lvl0)
         m, slot1 = svomap.add_keyframe(
             self.map, frame.flat.flat, tv.T_cur_ref, frame.frame_id,
             tv.px_cur, tv.f_cur, lvl0, jnp.where(tv.inlier, ids, -1),
-            tv.inlier, depth1)
+            tv.inlier, depth1, feat_tile=tile1, feat_tile_xy0=txy0_1)
         pt = svomap.add_point_observations(
             m.pt, ids, jnp.full((C,), slot1, jnp.int32),
             jnp.arange(C, dtype=jnp.int32), tv.inlier)
@@ -332,11 +338,13 @@ class FrameHandler:
         depth = jnp.linalg.norm(p_last, axis=-1)
         fvalid = last.feat_valid & (last.feat_point >= 0) \
             & (self.map.pt.ptype[pid] != svomap.TYPE_DELETED)
+        pad = PaddedPyramid(frame.pyr)
         align = sparse_img_align(
             last.pyr, frame.pyr, self.cam, SE3.identity(),
             last.feat_px, last.feat_f, depth, fvalid,
             max_level=cfg.klt_max_level, min_level=cfg.klt_min_level,
-            n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps)
+            n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps,
+            cur_pad=pad)
         T_cur = align.T_cur_ref * last.T_f_w
         frame = frame.with_pose(T_cur)
         info["img_align_n_tracked"] = int(align.n_tracked)
@@ -345,7 +353,7 @@ class FrameHandler:
         pt, rep = reproject_map(
             self.map, frame.flat, T_cur, self.cam,
             cfg.grid_size, self.ncx, self.ncy,
-            max_level=self.n_levels - 1)
+            max_level=self.n_levels - 1, cur_pad=pad)
         self.map = svomap.scrub_dead_references(
             self.map._replace(pt=pt))
         info["repr_n_mps"] = int(rep.n_trials)
@@ -411,12 +419,15 @@ class FrameHandler:
                     max_n_kfs=cfg.df_max_kf_age,
                     conv_thresh=cfg.seed_convergence_sigma2_thresh,
                     max_steps=cfg.epi_max_steps,
-                    update_k=cfg.df_update_k)
+                    update_k=cfg.df_update_k,
+                    cur_pad=PaddedPyramid(frame.pyr))
                 info["n_seeds"] = int(stats.n_seeds)
             return RESULT_NO_KEYFRAME, frame, info
 
         # ------- new keyframe -------
         info["is_keyframe"] = True
+        ktile, ktxy0 = extract_tiles(frame.flat, frame.feat_px,
+                                     frame.feat_level)
         m, slot = svomap.add_keyframe(
             self.map, frame.flat.flat, frame.T_f_w, frame.frame_id,
             frame.feat_px, frame.feat_f, frame.feat_level,
@@ -425,7 +436,8 @@ class FrameHandler:
                 self.map.pt.pos[jnp.clip(frame.feat_point, 0,
                                          self.map.pt.pos.shape[0] - 1)]),
                 axis=-1),
-            feat_type=frame.feat_type, feat_grad=frame.feat_grad)
+            feat_type=frame.feat_type, feat_grad=frame.feat_grad,
+            feat_tile=ktile, feat_tile_xy0=ktxy0)
         # point->addFrameRef for all matched features; promote candidates
         pt = svomap.add_point_observations(
             m.pt, frame.feat_point,
@@ -455,7 +467,8 @@ class FrameHandler:
             max_n_kfs=cfg.df_max_kf_age,
             conv_thresh=cfg.seed_convergence_sigma2_thresh,
             max_steps=cfg.epi_max_steps,
-                update_k=cfg.df_update_k)
+            update_k=cfg.df_update_k,
+            cur_pad=PaddedPyramid(frame.pyr))
         occupied = jnp.zeros((self.n_cells,), bool).at[
             cell_index(frame.feat_px, cfg.grid_size, self.ncx,
                        self.ncy)].max(frame.feat_valid)

@@ -30,8 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from rpg_svo_tpu.geometry.se3 import SE3
-from rpg_svo_tpu.ops.interp import FlatPyramid, BoundPyramidPool
-from rpg_svo_tpu.ops.matcher import find_match_direct
+from rpg_svo_tpu.ops.interp import FlatPyramid
+from rpg_svo_tpu.ops.matcher import find_match_direct_tiles
 from rpg_svo_tpu.core.map import (
     MapState, TYPE_DELETED, TYPE_CANDIDATE, TYPE_UNKNOWN, TYPE_GOOD,
     kf_positions,
@@ -54,7 +54,7 @@ class ReprojectResult(NamedTuple):
                                              "max_level"))
 def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
                   grid_size: int, ncx: int, ncy: int,
-                  max_level: int = 4):
+                  max_level: int = 4, cur_pad=None):
     """Returns (PointStore with updated counters/types, ReprojectResult)."""
     pt = m.pt
     P = pt.pos.shape[0]
@@ -129,6 +129,11 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
                          m.kf.feat_type[kf_safe, ft_safe])
     ref_grad = jnp.where(use_orig[:, None], pt.orig_grad[sel_pt],
                          m.kf.feat_grad[kf_safe, ft_safe])
+    # creation-time tiles of the chosen observation (no pyramid reads)
+    ref_tile = jnp.where(use_orig[:, None, None], pt.orig_tile[sel_pt],
+                         m.kf.feat_tile[kf_safe, ft_safe])
+    ref_xy0 = jnp.where(use_orig[:, None], pt.orig_tile_xy0[sel_pt],
+                        m.kf.feat_tile_xy0[kf_safe, ft_safe])
     # 60 deg cutoff (point.cpp:97-117)
     view_ok = best_cos > 0.5
     attempt = has & view_ok & (ref_kf >= 0)
@@ -138,12 +143,11 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
     T_cur_ref = T_cur * T_kf_w.inverse()
     p_ref = T_kf_w.apply(sel_pos)
     depth_ref = jnp.linalg.norm(p_ref, axis=-1)
-    ref_pool = BoundPyramidPool(m.kf.flat_pyr, cur_pyr.shapes, kf_safe)
     px_init = cam.world2cam(T_cur.apply(sel_pos))
-    match = find_match_direct(
-        cur_pyr, ref_pool, cam, T_cur_ref, ref_px, ref_f, ref_level,
-        depth_ref, px_init, attempt, max_level=max_level,
-        ftr_type=ref_type, ftr_grad=ref_grad)
+    match = find_match_direct_tiles(
+        cur_pyr, ref_tile, ref_xy0, cam, T_cur_ref, ref_px, ref_f,
+        ref_level, depth_ref, px_init, attempt, max_level=max_level,
+        ftr_type=ref_type, ftr_grad=ref_grad, cur_pad=cur_pad)
     success = attempt & match.success \
         & cam.is_in_frame(match.px_cur, boundary=2.0)
 

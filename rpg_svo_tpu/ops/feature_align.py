@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from rpg_svo_tpu.ops.interp import bilinear, FlatPyramid
+from rpg_svo_tpu.geometry.linalg import inv2x2, inv3x3
 
 HALFPATCH = 4
 PATCH = 2 * HALFPATCH          # 8
@@ -56,8 +57,21 @@ def _gather_tile(cur_img, level, px_init):
     """One (TILE, TILE) integer-pixel tile per feature around px_init.
 
     Returns (base (N,2) float (x,y) of the tile origin, tile (N,T,T),
-    ok (N,T,T))."""
+    ok (N,T,T)).
+
+    cur_img may be a PaddedPyramid (Pallas aligned-load fast path: the
+    tile origin is CLAMPED into the level, so tiles are always fully
+    backed — targets that would leave the image fail via the window
+    in-bounds check), a FlatPyramid, or a raw (H, W) image (XLA gathers,
+    tiles may extend outside with per-pixel ok marks)."""
+    from rpg_svo_tpu.ops.pallas_tiles import PaddedPyramid, gather_tiles
     base = jnp.floor(px_init).astype(jnp.int32) - HALFPATCH - SLACK
+    if isinstance(cur_img, PaddedPyramid):
+        vals, x0c, y0c = gather_tiles(cur_img, level, base[:, 0],
+                                      base[:, 1], TILE, TILE)
+        basec = jnp.stack([x0c, y0c], axis=-1)
+        ok = jnp.ones(vals.shape, bool)
+        return basec.astype(jnp.float32), vals, ok
     r = jnp.arange(TILE, dtype=jnp.int32)
     xg = base[:, 0, None, None] + r[None, None, :]
     yg = base[:, 1, None, None] + r[None, :, None]
@@ -152,12 +166,12 @@ def align_features(cur_img,
     # 2-D: fixed 3x3 Hessian per item, J2 = [dx, dy, 1]
     J2 = jnp.stack([dx, dy, ones], axis=-1)           # (N, 64, 3)
     H2 = jnp.einsum("npj,npk->njk", J2, J2)
-    H2inv = jnp.linalg.inv(H2 + 1e-9 * jnp.eye(3))
+    H2inv = inv3x3(H2 + 1e-9 * jnp.eye(3))
     # 1-D: directional gradient, J1 = [dd, 1]
     dd = dx * direction[:, None, 0] + dy * direction[:, None, 1]
     J1 = jnp.stack([dd, ones], axis=-1)               # (N, 64, 2)
     H1 = jnp.einsum("npj,npk->njk", J1, J1)
-    H1inv = jnp.linalg.inv(H1 + 1e-9 * jnp.eye(2))
+    H1inv = inv2x2(H1 + 1e-9 * jnp.eye(2))
 
     base, tile, tok = _gather_tile(cur_img, level, px_init)
     okf = tok.astype(jnp.float32)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.geometry.cameras import project2d
+from rpg_svo_tpu.geometry.linalg import det2x2, inv2x2
 from rpg_svo_tpu.geometry.triangulation import depth_from_triangulation
 from rpg_svo_tpu.ops.interp import FlatPyramid
 from rpg_svo_tpu.ops.feature_align import (
@@ -85,7 +86,7 @@ def best_search_level(A_level0: jnp.ndarray, level_ref: jnp.ndarray,
     Reference semantics (matcher.cpp:57-70) with A expressed level0->level0:
     the ref-level determinant is det(A0) * 4^level_ref.
     """
-    D = jnp.abs(jnp.linalg.det(A_level0)) \
+    D = jnp.abs(det2x2(A_level0)) \
         * (4.0 ** level_ref.astype(jnp.float32))
     lvl = jnp.ceil(jnp.log2(jnp.maximum(D, 1e-12) / 3.0) / 2.0)
     return jnp.clip(lvl, 0, max_level).astype(jnp.int32)
@@ -101,8 +102,7 @@ def warp_affine_patches(A_level0: jnp.ndarray, ref_pyr: FlatPyramid,
     at each feature's own level (proper decimation, like the reference's
     warpAffine sampling img_ref at level_ref).
     """
-    Ainv = jnp.linalg.inv(
-        A_level0 + 1e-9 * jnp.eye(2, dtype=A_level0.dtype))
+    Ainv = inv2x2(A_level0 + 1e-9 * jnp.eye(2, dtype=A_level0.dtype))
     r = jnp.arange(BORDERED, dtype=jnp.float32) - (HALFPATCH + 1)
     ys, xs = jnp.meshgrid(r, r, indexing="ij")
     grid = jnp.stack([xs.ravel(), ys.ravel()], axis=-1)     # (100, 2)
@@ -129,11 +129,100 @@ def _inner_patch(patch_border: jnp.ndarray) -> jnp.ndarray:
     return pb[:, 1:-1, 1:-1].reshape(-1, PATCH * PATCH)
 
 
+def warp_affine_patches_tiles(A_level0: jnp.ndarray, tiles: jnp.ndarray,
+                              xy0: jnp.ndarray, px_ref: jnp.ndarray,
+                              level_ref: jnp.ndarray,
+                              search_level: jnp.ndarray):
+    """warp_affine_patches sampling from creation-time tiles instead of
+    the origin pyramid (identical coordinates; see ops/patches.py)."""
+    from rpg_svo_tpu.ops.patches import sample_tiles
+    Ainv = inv2x2(A_level0 + 1e-9 * jnp.eye(2, dtype=A_level0.dtype))
+    r = jnp.arange(BORDERED, dtype=jnp.float32) - (HALFPATCH + 1)
+    ys, xs = jnp.meshgrid(r, r, indexing="ij")
+    grid = jnp.stack([xs.ravel(), ys.ravel()], axis=-1)     # (100, 2)
+    scale_cur = (2.0 ** search_level.astype(jnp.float32))
+    scale_ref = (2.0 ** level_ref.astype(jnp.float32))
+    pc = grid[None] * scale_cur[:, None, None]
+    po = jnp.einsum("nij,npj->npi", Ainv, pc)
+    coords = (px_ref[:, None, :] + po) / scale_ref[:, None, None]
+    vals, ok = sample_tiles(tiles, xy0, coords)
+    return vals, jnp.all(ok, axis=-1)
+
+
+def warp_rotated_tiles(A_level0: jnp.ndarray, tiles: jnp.ndarray,
+                       xy0: jnp.ndarray, px_ref: jnp.ndarray,
+                       level_ref: jnp.ndarray, search_level: jnp.ndarray,
+                       dir_lvl: jnp.ndarray):
+    """warp_patches_rotated sampling from creation-time tiles."""
+    from rpg_svo_tpu.ops.patches import sample_tiles
+    Ainv = inv2x2(A_level0 + 1e-9 * jnp.eye(2, dtype=A_level0.dtype))
+    r = jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH
+    uu, vv = jnp.meshgrid(r, r, indexing="ij")
+    nrm = jnp.stack([-dir_lvl[:, 1], dir_lvl[:, 0]], axis=-1)
+    offs = (uu.ravel()[None, :, None] * dir_lvl[:, None, :]
+            + vv.ravel()[None, :, None] * nrm[:, None, :])
+    scale_cur = (2.0 ** search_level.astype(jnp.float32))
+    scale_ref = (2.0 ** level_ref.astype(jnp.float32))
+    po = jnp.einsum("nij,npj->npi", Ainv,
+                    offs * scale_cur[:, None, None])
+    coords = (px_ref[:, None, :] + po) / scale_ref[:, None, None]
+    vals, ok = sample_tiles(tiles, xy0, coords)
+    return vals, jnp.all(ok, axis=-1)
+
+
 class EpipolarMatch(NamedTuple):
     px_cur: jnp.ndarray      # (N, 2) level-0 coords of the match
     depth_ref: jnp.ndarray   # (N,) triangulated depth along f_ref
     level_cur: jnp.ndarray   # (N,) search level used
     success: jnp.ndarray     # (N,) bool
+
+
+class EpipolarGeom(NamedTuple):
+    """Search geometry shared by the ref-patch samplers and the scan."""
+    A: jnp.ndarray            # (N, 2, 2) level0->level0 affine warp
+    search_level: jnp.ndarray  # (N,)
+    scale: jnp.ndarray        # (N,) 2^search_level
+    pxA: jnp.ndarray          # (N, 2) near endpoint, search-level coords
+    dir_lvl: jnp.ndarray      # (N, 2) unit epipolar dir, search-level px
+    n_steps: jnp.ndarray      # (N,) int32 scan steps at 1px spacing
+
+
+def epipolar_geometry(cam, T_cur_ref: SE3, px_ref, f_ref, level_ref,
+                      d_estimate, d_min, d_max,
+                      max_steps: int = DEFAULT_MAX_STEPS,
+                      max_level: int = 4) -> EpipolarGeom:
+    """Warp matrix, search level, and the epipolar segment at that level
+    (matcher.cpp:179-260 preamble), independent of how ref patches are
+    sampled."""
+    pA = T_cur_ref.apply(f_ref * d_min[:, None])     # near endpoint
+    pB = T_cur_ref.apply(f_ref * d_max[:, None])     # far endpoint
+    uvA = project2d(pA)
+    uvB = project2d(pB)
+
+    A = warp_matrix_affine(cam, cam, px_ref, f_ref, d_estimate,
+                           T_cur_ref, level_ref)
+    search_level = best_search_level(A, level_ref, max_level)
+
+    # bump the level until the segment fits max_steps at 1px spacing
+    pxA0 = cam.project_unitplane(uvA)
+    pxB0 = cam.project_unitplane(uvB)
+    seg0 = jnp.linalg.norm(pxB0 - pxA0, axis=-1)     # level-0 px
+    need = jnp.ceil(jnp.log2(jnp.maximum(
+        seg0 / (2.0 ** search_level.astype(jnp.float32))
+        / (max_steps - 1.0), 1.0)))
+    search_level = jnp.clip(search_level + need.astype(jnp.int32),
+                            0, max_level)
+    scale = 2.0 ** search_level.astype(jnp.float32)
+
+    pxA = pxA0 / scale[:, None]
+    pxB = pxB0 / scale[:, None]
+    seg = pxB - pxA
+    seg_len = jnp.linalg.norm(seg, axis=-1)
+    dir_lvl = seg / jnp.maximum(seg_len, 1e-9)[:, None]
+    degen = seg_len < 1e-6
+    dir_lvl = jnp.where(degen[:, None], jnp.array([1.0, 0.0]), dir_lvl)
+    n_steps = jnp.clip(seg_len.astype(jnp.int32) + 1, 1, max_steps)
+    return EpipolarGeom(A, search_level, scale, pxA, dir_lvl, n_steps)
 
 
 def warp_patches_rotated(A_level0: jnp.ndarray, ref_pyr,
@@ -143,8 +232,7 @@ def warp_patches_rotated(A_level0: jnp.ndarray, ref_pyr,
     CURRENT frame, inverse-warped into the ref pyramid.  dir_lvl (N, 2) is
     the unit epipolar direction in search-level px.  Returns
     (patch (N, 64), valid (N,))."""
-    Ainv = jnp.linalg.inv(
-        A_level0 + 1e-9 * jnp.eye(2, dtype=A_level0.dtype))
+    Ainv = inv2x2(A_level0 + 1e-9 * jnp.eye(2, dtype=A_level0.dtype))
     r = jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH
     # flat order MUST match the scan windows built from the strip:
     # index p = u * 8 + v (u = along-line offset slow, v = normal fast)
@@ -183,6 +271,44 @@ def epipolar_match(cur_pyr: FlatPyramid,
                    align_1d: bool = False) -> EpipolarMatch:
     """Batched epipolar ZMSSD search + subpixel refinement + triangulation.
 
+    Compatibility wrapper sampling ref patches from a pyramid; the fused
+    hot path samples from creation-time tiles instead (ops/patches.py)
+    and calls epipolar_geometry + epipolar_search directly.
+    """
+    geom = epipolar_geometry(cam, T_cur_ref, px_ref, f_ref, level_ref,
+                             d_estimate, d_min, d_max, max_steps,
+                             max_level)
+    # ref patches: axis-aligned bordered (for align2d) + rotated (for scan)
+    ref_patch_border, ref_ok = warp_affine_patches(
+        geom.A, ref_pyr, px_ref, level_ref, geom.search_level)
+    ref_rot, rot_ok = warp_patches_rotated(
+        geom.A, ref_pyr, px_ref, level_ref, geom.search_level,
+        geom.dir_lvl)
+    return epipolar_search(cur_pyr, cam, geom, T_cur_ref, f_ref,
+                           ref_patch_border, ref_rot, ref_ok & rot_ok,
+                           valid, max_steps=max_steps, n_iter=n_iter,
+                           ftr_type=ftr_type, ftr_grad=ftr_grad,
+                           align_1d=align_1d)
+
+
+def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
+                    T_cur_ref: SE3, f_ref: jnp.ndarray,
+                    ref_patch_border: jnp.ndarray,  # (N, 100)
+                    ref_rot: jnp.ndarray,           # (N, 64)
+                    ref_ok: jnp.ndarray,            # (N,)
+                    valid: jnp.ndarray,             # (N,)
+                    max_steps: int = DEFAULT_MAX_STEPS,
+                    n_iter: int = 10,
+                    ftr_type: jnp.ndarray | None = None,
+                    ftr_grad: jnp.ndarray | None = None,
+                    align_1d: bool = False,
+                    cur_pad=None) -> EpipolarMatch:
+    """ZMSSD scan along the epipolar segment + align2d + triangulation.
+
+    cur_pad: optional PaddedPyramid of the current frame — routes the
+    subpixel-refinement tile gathers through the Pallas aligned-load
+    kernel (ops/pallas_tiles.py) instead of XLA scattered gathers.
+
     TPU-shaped scan: instead of gathering an 8x8 patch at every scan
     position (O(steps*64) scattered gathers per seed — the throughput
     killer), ONE rotated strip of (max_steps+8) x 8 samples is gathered
@@ -192,43 +318,10 @@ def epipolar_match(cur_pyr: FlatPyramid,
     longer than max_steps px bump the search level so the whole range is
     always covered (coarser, then recovered by align2d).
     """
-    # epipolar segment endpoints on the unit plane of cur
-    pA = T_cur_ref.apply(f_ref * d_min[:, None])     # near endpoint
-    pB = T_cur_ref.apply(f_ref * d_max[:, None])     # far endpoint
-    uvA = project2d(pA)
-    uvB = project2d(pB)
-
-    A = warp_matrix_affine(cam, cam, px_ref, f_ref, d_estimate,
-                           T_cur_ref, level_ref)
-    search_level = best_search_level(A, level_ref, max_level)
-
-    # bump the level until the segment fits max_steps at 1px spacing
-    pxA0 = cam.project_unitplane(uvA)
-    pxB0 = cam.project_unitplane(uvB)
-    seg0 = jnp.linalg.norm(pxB0 - pxA0, axis=-1)     # level-0 px
-    need = jnp.ceil(jnp.log2(jnp.maximum(
-        seg0 / (2.0 ** search_level.astype(jnp.float32))
-        / (max_steps - 1.0), 1.0)))
-    search_level = jnp.clip(search_level + need.astype(jnp.int32),
-                            0, max_level)
-    scale = 2.0 ** search_level.astype(jnp.float32)
-
-    pxA = pxA0 / scale[:, None]
-    pxB = pxB0 / scale[:, None]
-    seg = pxB - pxA
-    seg_len = jnp.linalg.norm(seg, axis=-1)
-    dir_lvl = seg / jnp.maximum(seg_len, 1e-9)[:, None]
-    # degenerate segment (zero baseline): scan around pxA in +x
-    degen = seg_len < 1e-6
-    dir_lvl = jnp.where(degen[:, None], jnp.array([1.0, 0.0]), dir_lvl)
-    n_steps = jnp.clip(seg_len.astype(jnp.int32) + 1, 1, max_steps)
-
-    # ref patches: axis-aligned bordered (for align2d) + rotated (for scan)
-    ref_patch_border, ref_ok = warp_affine_patches(
-        A, ref_pyr, px_ref, level_ref, search_level)
-    ref_rot, rot_ok = warp_patches_rotated(
-        A, ref_pyr, px_ref, level_ref, search_level, dir_lvl)
-    ref_ok = ref_ok & rot_ok
+    pxA = geom.pxA
+    dir_lvl = geom.dir_lvl
+    search_level = geom.search_level
+    n_steps = geom.n_steps
 
     # strip gather: S[c, v] = I(pxA + (c-4)*dir + (v-4)*normal)
     nrm = jnp.stack([-dir_lvl[:, 1], dir_lvl[:, 0]], axis=-1)
@@ -264,7 +357,7 @@ def epipolar_match(cur_pyr: FlatPyramid,
     # gradient is nearly orthogonal to the epipolar direction — the 1-D
     # scan cannot localize along an edge parallel to itself
     if ftr_type is not None:
-        grad_cur = jnp.einsum("nij,nj->ni", A, ftr_grad)
+        grad_cur = jnp.einsum("nij,nj->ni", geom.A, ftr_grad)
         grad_cur = grad_cur / jnp.maximum(
             jnp.linalg.norm(grad_cur, axis=-1, keepdims=True), 1e-12)
         cosangle = jnp.abs(jnp.sum(grad_cur * dir_lvl, axis=-1))
@@ -274,18 +367,19 @@ def epipolar_match(cur_pyr: FlatPyramid,
 
     # subpixel refinement at the search level; align_1d constrains the
     # refinement along the epipolar direction (matcher.h options_.align_1d)
+    align_src = cur_pad if cur_pad is not None else cur_pyr
     if align_1d:
         px_ref_out, conv = align_features(
-            cur_pyr, ref_patch_border, best_px, found, n_iter,
+            align_src, ref_patch_border, best_px, found, n_iter,
             level=search_level, direction=dir_lvl,
             is_1d=jnp.ones(best_px.shape[:1], bool))
     else:
-        px_ref_out, conv = align2d(cur_pyr, ref_patch_border, best_px,
+        px_ref_out, conv = align2d(align_src, ref_patch_border, best_px,
                                    found, n_iter, level=search_level)
     px_ref_out = jnp.where(conv[:, None], px_ref_out, best_px)
 
     # triangulate refined match
-    px0 = px_ref_out * scale[:, None]                     # level-0 coords
+    px0 = px_ref_out * geom.scale[:, None]                # level-0 coords
     f_cur = cam.cam2world(px0)
     d_ref, d_cur, tri_ok = depth_from_triangulation(T_cur_ref, f_ref, f_cur)
     success = conv & found & tri_ok & (d_ref > 0)
@@ -320,12 +414,47 @@ def find_match_direct(cur_pyr: FlatPyramid,
     observations (ftr_type == FEATURE_EDGELET) refine 1-D along the
     warped gradient direction A_cur_ref . grad (matcher.cpp:161-167);
     corners refine 2-D."""
-    N = px_ref.shape[0]
     A = warp_matrix_affine(cam, cam, px_ref, f_ref, depth_ref,
                            T_cur_ref, level_ref)
     search_level = best_search_level(A, level_ref, max_level)
     patch_border, ref_ok = warp_affine_patches(
         A, ref_pyr, px_ref, level_ref, search_level)
+    return _direct_align(cur_pyr, A, search_level, patch_border, ref_ok,
+                         px_cur_init, valid, n_iter, ftr_type, ftr_grad)
+
+
+def find_match_direct_tiles(cur_pyr: FlatPyramid,
+                            ref_tiles: jnp.ndarray,   # (N, T, T)
+                            ref_xy0: jnp.ndarray,     # (N, 2)
+                            cam,
+                            T_cur_ref: SE3,
+                            px_ref: jnp.ndarray,
+                            f_ref: jnp.ndarray,
+                            level_ref: jnp.ndarray,
+                            depth_ref: jnp.ndarray,
+                            px_cur_init: jnp.ndarray,
+                            valid: jnp.ndarray,
+                            n_iter: int = 10,
+                            max_level: int = 4,
+                            ftr_type: jnp.ndarray | None = None,
+                            ftr_grad: jnp.ndarray | None = None,
+                            cur_pad=None) -> DirectMatch:
+    """find_match_direct with ref patches from creation-time tiles (the
+    fused hot path: no keyframe-pyramid reads)."""
+    A = warp_matrix_affine(cam, cam, px_ref, f_ref, depth_ref,
+                           T_cur_ref, level_ref)
+    search_level = best_search_level(A, level_ref, max_level)
+    patch_border, ref_ok = warp_affine_patches_tiles(
+        A, ref_tiles, ref_xy0, px_ref, level_ref, search_level)
+    src = cur_pad if cur_pad is not None else cur_pyr
+    return _direct_align(src, A, search_level, patch_border, ref_ok,
+                         px_cur_init, valid, n_iter, ftr_type, ftr_grad)
+
+
+def _direct_align(cur_pyr, A, search_level, patch_border, ref_ok,
+                  px_cur_init, valid, n_iter,
+                  ftr_type, ftr_grad) -> DirectMatch:
+    N = px_cur_init.shape[0]
     scale = 2.0 ** search_level.astype(jnp.float32)
     px_lvl = px_cur_init / scale[:, None]
     if ftr_type is None:

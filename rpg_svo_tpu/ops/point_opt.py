@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from rpg_svo_tpu.geometry.se3 import SE3
+from rpg_svo_tpu.geometry.linalg import solve3x3
 from rpg_svo_tpu.geometry.cameras import project2d
 
 EPS = 1e-10
@@ -63,7 +64,7 @@ def optimize_points(p_w: jnp.ndarray,       # (K, 3)
     def body(_, state):
         p, p_old, chi2_old, frozen = state
         A, b, chi2 = _point_system(p, obs_R, obs_t, obs_f, obs_mask)
-        dp = jnp.linalg.solve(A + 1e-10 * jnp.eye(3), b[..., None])[..., 0]
+        dp = solve3x3(A + 1e-10 * jnp.eye(3), b)
         bad = (chi2 > chi2_old) | jnp.isnan(dp[:, 0])
         # rollback per point; once rolled back, freeze (reference breaks)
         p_next = jnp.where((bad | frozen | ~point_valid)[:, None],

@@ -27,6 +27,7 @@ from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.geometry.cameras import project2d
 from rpg_svo_tpu.geometry.triangulation import jacobian_xyz2uv
 from rpg_svo_tpu.ops.robust import tukey_weight, mad_scale, masked_median
+from rpg_svo_tpu.geometry.linalg import solve6x6_spd
 
 EPS = 1e-10
 
@@ -79,7 +80,7 @@ def optimize_pose(T_init: SE3,
         T, T_old, chi2_prev, A_prev, done = carry
         scale = jnp.where(i >= 5, 0.85 / fx, est_scale)
         A, b, new_chi2 = gn_system(T, scale)
-        dT = jnp.linalg.solve(A + 1e-12 * jnp.eye(6), b)
+        dT = solve6x6_spd(A + 1e-12 * jnp.eye(6), b)
         fail = (~done) & (((i > 0) & (new_chi2 > chi2_prev))
                           | jnp.isnan(dT[0]))
         upd = (~done) & (~fail)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.geometry.triangulation import jacobian_xyz2uv
+from rpg_svo_tpu.geometry.linalg import solve6x6_spd
 from rpg_svo_tpu.ops.interp import bilinear, patch_grid
 
 PATCH_HALFSIZE = 2
@@ -48,9 +49,20 @@ SLACK = 6
 TILE = PATCH_SIZE + 1 + 2 * SLACK   # 17
 
 
-def _gather_tile(img, uv0):
-    """(TILE, TILE) integer tile per feature around uv0 (N, 2) level px."""
+def _gather_tile(img, uv0, cur_pad=None, level: int = 0):
+    """(TILE, TILE) integer tile per feature around uv0 (N, 2) level px.
+
+    With a PaddedPyramid (cur_pad), tiles come from the Pallas aligned-
+    load kernel with origins clamped inside the level (always fully
+    backed); otherwise XLA gathers with per-pixel validity."""
     base = jnp.floor(uv0).astype(jnp.int32) - PATCH_HALFSIZE - SLACK
+    if cur_pad is not None:
+        from rpg_svo_tpu.ops.pallas_tiles import gather_tiles
+        lv = jnp.full((uv0.shape[0],), level, jnp.int32)
+        vals, x0c, y0c = gather_tiles(cur_pad, lv, base[:, 0], base[:, 1],
+                                      TILE, TILE)
+        basec = jnp.stack([x0c, y0c], axis=-1).astype(jnp.float32)
+        return basec, vals, jnp.ones(vals.shape, jnp.float32)
     r = jnp.arange(TILE, dtype=jnp.int32)
     xg = base[:, 0, None, None] + r[None, None, :]
     yg = base[:, 1, None, None] + r[None, :, None]
@@ -125,11 +137,11 @@ def _precompute_level(ref_img, cam_fx, feats_px, feats_f, feats_depth,
 
 
 def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
-              level: int, n_iter: int, eps: float):
+              level: int, n_iter: int, eps: float, cur_pad=None):
     """GN iterations at one level; carries best (lowest-chi2) pose."""
     scale = 1.0 / (2.0 ** level)
     uv0 = cam.world2cam(T_init.apply(p_ref)) * scale
-    base, tile, okf = _gather_tile(cur_img, uv0)
+    base, tile, okf = _gather_tile(cur_img, uv0, cur_pad, level)
 
     def residuals(T: SE3):
         p_cur = T.apply(p_ref)                    # (N, 3)
@@ -158,7 +170,7 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
         res, m = residuals(T)
         H, Jres, chi2 = normal_eqs(res, m)
         # damped solve for safety at coarse levels
-        x = jnp.linalg.solve(H + 1e-8 * jnp.eye(6, dtype=H.dtype), Jres)
+        x = solve6x6_spd(H + 1e-8 * jnp.eye(6, dtype=H.dtype), Jres)
         bad = jnp.any(jnp.isnan(x)) | (chi2 > best_chi2 * 1.0)
         T_new = T * SE3.exp(-x)
         # rollback semantics: keep best pose seen so far
@@ -216,7 +228,8 @@ def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
                      max_level: int = 4,
                      min_level: int = 2,
                      n_iter: int = 30,
-                     eps: float = 1e-7) -> AlignResult:
+                     eps: float = 1e-7,
+                     cur_pad=None) -> AlignResult:
     """Coarse-to-fine sparse image alignment. Returns refined T_cur_ref."""
     T = T_cur_ref_init
     p_ref = feats_f * feats_depth[:, None]
@@ -229,6 +242,6 @@ def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
             feats_valid, level)
         T, n_meas, H, chi2 = _level_gn(
             cur_pyr[level], cam, T, p_ref, ref_patch, jac, valid,
-            level, n_iter, eps)
+            level, n_iter, eps, cur_pad=cur_pad)
     n_tracked = (n_meas // PATCH_AREA).astype(jnp.int32)
     return AlignResult(T, n_tracked, H, chi2)

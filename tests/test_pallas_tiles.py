@@ -1,0 +1,57 @@
+"""Pallas tile-gather kernel: interpret mode vs XLA fallback vs direct."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rpg_svo_tpu.ops.pallas_tiles import PaddedPyramid, gather_tiles
+from rpg_svo_tpu.ops.pyramid import build_pyramid
+
+
+@pytest.fixture(scope="module")
+def pyr():
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (480, 752), jnp.float32) * 255.0
+    return build_pyramid(img, 5)
+
+
+def _direct(levels, level, x0c, y0c, th, tw):
+    out = []
+    for i in range(level.shape[0]):
+        img = np.asarray(levels[int(level[i])])
+        out.append(img[int(y0c[i]): int(y0c[i]) + th,
+                       int(x0c[i]): int(x0c[i]) + tw])
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("th,tw", [(17, 17), (24, 24)])
+def test_gather_tiles_matches_direct(pyr, th, tw):
+    pp = PaddedPyramid(pyr)
+    n = 37
+    key = jax.random.PRNGKey(3)
+    level = jax.random.randint(key, (n,), 0, 5, jnp.int32)
+    # random origins, some intentionally out of range (clamped)
+    x0 = jax.random.randint(jax.random.PRNGKey(4), (n,), -10, 760,
+                            jnp.int32)
+    y0 = jax.random.randint(jax.random.PRNGKey(5), (n,), -10, 470,
+                            jnp.int32)
+    for interpret in (False, True):
+        tiles, x0c, y0c = gather_tiles(pp, level, x0, y0, th, tw,
+                                       interpret=interpret)
+        ref = _direct(pyr, np.asarray(level), np.asarray(x0c),
+                      np.asarray(y0c), th, tw)
+        assert np.max(np.abs(np.asarray(tiles) - ref)) == 0.0, \
+            f"interpret={interpret}"
+
+
+def test_clamping_keeps_tiles_in_level(pyr):
+    pp = PaddedPyramid(pyr)
+    level = jnp.array([4, 4], jnp.int32)       # 30 x 47 level
+    x0 = jnp.array([100, -5], jnp.int32)
+    y0 = jnp.array([100, -5], jnp.int32)
+    tiles, x0c, y0c = gather_tiles(pp, level, x0, y0, 17, 17)
+    assert int(x0c[0]) == 47 - 17 and int(y0c[0]) == 30 - 17
+    assert int(x0c[1]) == 0 and int(y0c[1]) == 0
+    ref = _direct(pyr, np.asarray(level), np.asarray(x0c),
+                  np.asarray(y0c), 17, 17)
+    assert np.max(np.abs(np.asarray(tiles) - ref)) == 0.0
