@@ -57,29 +57,58 @@ def main():
     fh.set_first_frame_with_depth(img0, T0.inverse(), depth0)
     state = fused.state_from_handler(fh)
 
+    # Dispatch mode: "scan" (default) tracks `chunk` frames per device
+    # program via lax.scan — sequential frame-by-frame semantics,
+    # identical results to per-frame stepping (tests assert this), but
+    # one host->device dispatch per chunk so the remote-tunnel latency
+    # is off the critical path.  BENCH_MODE=step times one dispatch per
+    # frame (the live low-latency path).
+    mode = os.environ.get("BENCH_MODE", "scan")
+
     def step(st, img):
         return fused.vo_step_donated(st, img, ds.cam, cfg, fh.ncx, fh.ncy,
                                      fh.img_shape)
 
-    # warmup: compile the fused step
-    n_warm = min(chunk, imgs.shape[0] - 1)
-    for i in range(n_warm):
-        state, out = step(state, imgs[i])
-    jax.block_until_ready(out.t_wc)
+    def scan(st, imgs_chunk):
+        return fused.vo_scan_donated(st, imgs_chunk, ds.cam, cfg, fh.ncx,
+                                     fh.ncy, fh.img_shape)
 
-    t0 = time.perf_counter()
-    n_timed = 0
-    all_pos = []
-    # bounded in-flight work: sync every `chunk` frames so the remote
-    # device queue stays healthy
-    for s in range(n_warm, imgs.shape[0]):
-        state, out = step(state, imgs[s])
-        all_pos.append(out.t_wc)
-        n_timed += 1
-        if n_timed % chunk == 0:
-            out.t_wc.block_until_ready()
-    jax.block_until_ready(state.t)
-    dt = time.perf_counter() - t0
+    T = imgs.shape[0]
+    n_warm = min(chunk, T - 1)
+    if mode == "scan":
+        state, outs = scan(state, imgs[:n_warm])
+        jax.block_until_ready(outs.t_wc)
+        n_chunks = (T - n_warm) // chunk
+        t0 = time.perf_counter()
+        all_pos = []
+        n_timed = 0
+        for c in range(n_chunks):
+            lo = n_warm + c * chunk
+            state, outs = scan(state, imgs[lo: lo + chunk])
+            all_pos.append(outs.t_wc)
+            n_timed += chunk
+            outs.t_wc.block_until_ready()
+        jax.block_until_ready(state.t)
+        dt = time.perf_counter() - t0
+        pos = jnp.concatenate(all_pos) if all_pos else jnp.zeros((0, 3))
+    else:
+        for i in range(n_warm):
+            state, out = step(state, imgs[i])
+        jax.block_until_ready(out.t_wc)
+        t0 = time.perf_counter()
+        n_timed = 0
+        all_pos = []
+        # bounded in-flight work: sync every `chunk` frames so the remote
+        # device queue stays healthy
+        for s in range(n_warm, T):
+            state, out = step(state, imgs[s])
+            all_pos.append(out.t_wc)
+            n_timed += 1
+            if n_timed % chunk == 0:
+                out.t_wc.block_until_ready()
+        jax.block_until_ready(state.t)
+        dt = time.perf_counter() - t0
+        pos = jnp.stack(all_pos) if all_pos else jnp.zeros((0, 3))
 
     if n_timed == 0:
         print(json.dumps({"metric": "tracked_fps_single_chip",
@@ -89,7 +118,6 @@ def main():
     fps = n_timed / dt
 
     # accuracy sanity on stderr
-    pos = jnp.stack(all_pos)
     gt = jnp.stack([ds.poses[i].t
                     for i in range(1 + n_warm, 1 + n_warm + n_timed)])
     errs = jnp.linalg.norm(pos - gt, axis=-1)
@@ -106,4 +134,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the tunneled TPU worker occasionally dies mid-run ("kernel fault",
+    # see CLAUDE.md) and recovers in ~1-2 min; a dead backend cannot be
+    # revived in-process, so retry by re-exec'ing a fresh interpreter
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "0"))
+    try:
+        main()
+    except Exception as e:                 # noqa: BLE001
+        print(f"# attempt {attempt} failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        if attempt >= 2:
+            raise
+        time.sleep(100)
+        os.environ["BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)

@@ -174,12 +174,65 @@ def init_seeds_from_detection(m: MapState, kf_slot: jnp.ndarray, det,
     return m._replace(seed=seed, kf_counter=kf_counter)
 
 
+class SeedFieldUpdate(NamedTuple):
+    """S-sized field deltas from one seed update — everything the update
+    changes, WITHOUT the pool scatters.  Keeping pool-sized buffers (the
+    point store, the seed tiles) out of this pytree lets the fused step
+    run the update under a lax.cond with only tiny outputs and apply the
+    allocation with masked scatters outside (a cond's outputs are fresh
+    buffers: carrying the pools through it copied ~25 MB per frame)."""
+    active: jnp.ndarray     # (S,)
+    mu: jnp.ndarray         # (S,)
+    sigma2: jnp.ndarray     # (S,)
+    a: jnp.ndarray          # (S,)
+    b: jnp.ndarray          # (S,)
+    converged: jnp.ndarray  # (S,) -> allocate a CANDIDATE point
+    p_w: jnp.ndarray        # (S, 3) world position for converged seeds
+    stats: "SeedUpdateStats"
+
+
+def identity_seed_update(seed: SeedStore) -> SeedFieldUpdate:
+    """The no-op update (lax.cond false branch)."""
+    S = seed.active.shape[0]
+    z = jnp.int32(0)
+    return SeedFieldUpdate(
+        seed.active, seed.mu, seed.sigma2, seed.a, seed.b,
+        jnp.zeros((S,), bool), jnp.zeros((S, 3), jnp.float32),
+        SeedUpdateStats(z, z, z, jnp.sum(seed.active).astype(jnp.int32)))
+
+
+def apply_seed_update(m: MapState, upd: SeedFieldUpdate) -> MapState:
+    """Write back seed fields and allocate points for converged seeds."""
+    seed = m.seed._replace(active=upd.active, mu=upd.mu,
+                           sigma2=upd.sigma2, a=upd.a, b=upd.b)
+    pt, _ = alloc_points(
+        m.pt, upd.p_w, TYPE_CANDIDATE, seed.kf_slot, seed.px, seed.f,
+        seed.level, upd.converged, orig_type=seed.ftype,
+        orig_grad=seed.grad, orig_tile=seed.tile,
+        orig_tile_xy0=seed.tile_xy0)
+    return m._replace(seed=seed, pt=pt)
+
+
 @functools.partial(jax.jit, static_argnames=("max_n_kfs", "conv_thresh",
                                              "max_steps", "update_k"))
 def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
                  max_n_kfs: int = 3, conv_thresh: float = 200.0,
                  max_steps: int = 256, update_k: int = 0,
                  cur_pad=None) -> Tuple[MapState, SeedUpdateStats]:
+    """One batched update of ALL active seeds against the current frame
+    (field computation + write-back/allocation in one call)."""
+    upd = update_seeds_fields(
+        m, cur_pyr, T_cur_w, cam, max_n_kfs=max_n_kfs,
+        conv_thresh=conv_thresh, max_steps=max_steps, update_k=update_k,
+        cur_pad=cur_pad)
+    return apply_seed_update(m, upd), upd.stats
+
+
+def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
+                        cam, max_n_kfs: int = 3,
+                        conv_thresh: float = 200.0,
+                        max_steps: int = 256, update_k: int = 0,
+                        cur_pad=None) -> SeedFieldUpdate:
     """One batched update of ALL active seeds against the current frame.
 
     `update_k > 0` compacts the eligible seeds to at most that many before
@@ -225,9 +278,14 @@ def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
                                  dmax, max_steps=max_steps)
         ref_b, okb = warp_affine_patches_tiles(
             geom.A, tile, tile_xy0, px, level, geom.search_level)
-        ref_r, okr = warp_rotated_tiles(
-            geom.A, tile, tile_xy0, px, level, geom.search_level,
-            geom.dir_lvl)
+        if cur_pad is not None:
+            # axis-aligned Pallas scan reuses the align2d patch; the
+            # rotated ref patch is only needed by the XLA strip path
+            ref_r, okr = None, True
+        else:
+            ref_r, okr = warp_rotated_tiles(
+                geom.A, tile, tile_xy0, px, level, geom.search_level,
+                geom.dir_lvl)
         return epipolar_search(
             cur_pyr, cam, geom, T_cr, f, ref_b, ref_r, okb & okr, elig,
             max_steps=max_steps, ftr_type=ftype, ftr_grad=grad,
@@ -280,22 +338,16 @@ def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
                            < seed.z_range / conv_thresh)
     T_w_kf = T_kf_w.inverse()
     p_w = T_w_kf.apply(seed.f / jnp.maximum(mu_out, 1e-8)[:, None])
-    pt, new_ids = alloc_points(
-        m.pt, p_w, TYPE_CANDIDATE, seed.kf_slot, seed.px, seed.f,
-        seed.level, converged, orig_type=seed.ftype,
-        orig_grad=seed.grad, orig_tile=seed.tile,
-        orig_tile_xy0=seed.tile_xy0)
 
     # --- prune: converged, NaN, aged-out
     nan_seed = ~jnp.isfinite(z_inv_min) | ~jnp.isfinite(mu_out)
     active_out = active & ~converged & ~nan_seed
 
-    seed = seed._replace(active=active_out, mu=mu_out, sigma2=sigma2_out,
-                         a=a_out, b=b_out)
     stats = SeedUpdateStats(
         n_updated=jnp.sum(matched).astype(jnp.int32),
         n_failed=jnp.sum(failed_search).astype(jnp.int32),
         n_converged=jnp.sum(converged).astype(jnp.int32),
         n_seeds=jnp.sum(active_out).astype(jnp.int32),
     )
-    return m._replace(seed=seed, pt=pt), stats
+    return SeedFieldUpdate(active_out, mu_out, sigma2_out, a_out, b_out,
+                           converged, p_w, stats)

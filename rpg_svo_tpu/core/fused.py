@@ -104,7 +104,10 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     shapes = pyramid_shapes(img_shape, n_levels)
     pyr = build_pyramid(img, n_levels)
     flat = FlatPyramid(pyr)
-    pad = PaddedPyramid(pyr)   # Pallas aligned-tile source (cur frame)
+    # Pallas aligned-tile source (cur frame); SVO_NO_PAD=1 falls back to
+    # the XLA gather paths (debug/bisect switch, trace-time)
+    import os as _os
+    pad = None if _os.environ.get("SVO_NO_PAD") else PaddedPyramid(pyr)
     m = state.m
     P = m.pt.pos.shape[0]
 
@@ -128,6 +131,8 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
 
     (ref_pyr, ref_R, ref_t, ref_px, ref_f, ref_pid, ref_ok) = jax.lax.cond(
         reloc, ref_from_kf, ref_from_last, None)
+    ref_pad = None if _os.environ.get("SVO_NO_PAD") \
+        else PaddedPyramid(ref_pyr)
     T_ref = SE3(ref_R, ref_t)
     pid_safe = jnp.clip(ref_pid, 0, P - 1)
     depth = jnp.linalg.norm(T_ref.apply(m.pt.pos[pid_safe]), axis=-1)
@@ -137,7 +142,8 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     align = sparse_img_align(
         ref_pyr, pyr, cam, SE3.identity(), ref_px, ref_f, depth, ref_ok,
         max_level=cfg.klt_max_level, min_level=cfg.klt_min_level,
-        n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps, cur_pad=pad)
+        n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps, cur_pad=pad,
+        ref_pad=ref_pad)
     T_cur = align.T_cur_ref * T_ref
     # relocalization gate: need > 30 tracked to accept the alignment
     reloc_fail = reloc & (align.n_tracked <= 30)
@@ -197,22 +203,19 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     # The cond carries only (seed, pt): big read-only state (the keyframe
     # pyramid pool) enters as an operand but is NOT an output, so skipping
     # frames never copies it.
-    def do_update(seed_pt):
-        mm = m._replace(seed=seed_pt[0], pt=seed_pt[1])
-        mm2, _ = df.update_seeds(
-            mm, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
+    def do_update(_):
+        return df.update_seeds_fields(
+            m, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
             conv_thresh=cfg.seed_convergence_sigma2_thresh,
             max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k,
             cur_pad=pad)
-        return mm2.seed, mm2.pt
     if cfg.df_update_every > 1:
         due = ((frame_like.frame_id % cfg.df_update_every) == 0) | is_kf
-        seed2, pt2 = jax.lax.cond(due, do_update, lambda sp: sp,
-                                  (m.seed, m.pt))
-        m = m._replace(seed=seed2, pt=pt2)
+        upd = jax.lax.cond(due, do_update,
+                           lambda _: df.identity_seed_update(m.seed), None)
     else:
-        seed2, pt2 = do_update((m.seed, m.pt))
-        m = m._replace(seed=seed2, pt=pt2)
+        upd = do_update(None)
+    m = df.apply_seed_update(m, upd)
 
     # --- keyframe insertion ------------------------------------------------
     # All pool mutations are masked scatters gated on is_kf (an exact no-op
@@ -226,7 +229,8 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     # keyframe frames (cond outputs are small: C tiles)
     ftile, fxy0 = jax.lax.cond(
         is_kf,
-        lambda _: extract_tiles(pad, rep.feat_px, rep.feat_level),
+        lambda _: extract_tiles(pad if pad is not None else flat,
+                                rep.feat_px, rep.feat_level),
         lambda _: empty_tiles(C), None)
     m2, slot = svomap.add_keyframe(
         m, flat.flat, T_out, frame_like.frame_id,
@@ -267,7 +271,8 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
 
     def do_detect(_):
         det = detect_features(pyr, occupied, cfg.grid_size)
-        tile, txy0 = extract_tiles(pad, det["px"], det["level"])
+        tile, txy0 = extract_tiles(pad if pad is not None else flat,
+                                   det["px"], det["level"])
         return (det["px"], det["score"], det["level"], det["valid"],
                 tile, txy0)
 

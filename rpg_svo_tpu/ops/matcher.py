@@ -323,31 +323,41 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
     search_level = geom.search_level
     n_steps = geom.n_steps
 
-    # strip gather: S[c, v] = I(pxA + (c-4)*dir + (v-4)*normal)
-    nrm = jnp.stack([-dir_lvl[:, 1], dir_lvl[:, 0]], axis=-1)
-    cs = jnp.arange(max_steps + PATCH, dtype=jnp.float32) - HALFPATCH
-    rs = jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH
-    coords = (pxA[:, None, None, :]
-              + cs[None, :, None, None] * dir_lvl[:, None, None, :]
-              + rs[None, None, :, None] * nrm[:, None, None, :])
-    # nearest-neighbor: 1 gather/sample (reference scans integer pixels
-    # too); align2d below recovers the subpixel position
-    strip, strip_ok = cur_pyr.nearest(
-        search_level[:, None, None], coords)          # (N, S+8, 8)
+    if cur_pad is not None:
+        # Pallas per-seed scan: axis-aligned 8x8 windows at rounded px
+        # (reference-exact, matcher.cpp:263-291); loop bound = the seed's
+        # actual step count, so cost scales with live uncertainty
+        from rpg_svo_tpu.ops.pallas_scan import epipolar_scan
+        best_score, bi = epipolar_scan(
+            cur_pad, search_level, pxA, dir_lvl, n_steps,
+            _inner_patch(ref_patch_border), max_steps)
+    else:
+        # XLA strip scan: ONE rotated strip of (max_steps+8) x 8 samples;
+        # every window is a static slice (im2col), ZMSSD is dense math
+        nrm = jnp.stack([-dir_lvl[:, 1], dir_lvl[:, 0]], axis=-1)
+        cs = jnp.arange(max_steps + PATCH, dtype=jnp.float32) - HALFPATCH
+        rs = jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH
+        coords = (pxA[:, None, None, :]
+                  + cs[None, :, None, None] * dir_lvl[:, None, None, :]
+                  + rs[None, None, :, None] * nrm[:, None, None, :])
+        # nearest-neighbor: 1 gather/sample (reference scans integer
+        # pixels too); align2d below recovers the subpixel position
+        strip, strip_ok = cur_pyr.nearest(
+            search_level[:, None, None], coords)          # (N, S+8, 8)
 
-    # windows: W[s] = strip[s : s+8, :] -> (N, S, 64), dense slices only
-    wins = jnp.stack([strip[:, u: u + max_steps, :]
-                      for u in range(PATCH)], axis=2)  # (N, S, 8, 8)
-    wins = wins.reshape(wins.shape[0], max_steps, PATCH * PATCH)
-    wok = jnp.stack([strip_ok[:, u: u + max_steps, :]
-                     for u in range(PATCH)], axis=2)
-    wok = jnp.all(wok.reshape(wok.shape[0], max_steps, -1), axis=-1)
+        # windows: W[s] = strip[s : s+8, :] -> (N, S, 64), static slices
+        wins = jnp.stack([strip[:, u: u + max_steps, :]
+                          for u in range(PATCH)], axis=2)  # (N, S, 8, 8)
+        wins = wins.reshape(wins.shape[0], max_steps, PATCH * PATCH)
+        wok = jnp.stack([strip_ok[:, u: u + max_steps, :]
+                         for u in range(PATCH)], axis=2)
+        wok = jnp.all(wok.reshape(wok.shape[0], max_steps, -1), axis=-1)
 
-    sc = zmssd(ref_rot[:, None, :], wins)              # (N, S)
-    step_ids = jnp.arange(max_steps, dtype=jnp.int32)[None, :]
-    sc = jnp.where((step_ids < n_steps[:, None]) & wok, sc, jnp.inf)
-    best_score = jnp.min(sc, axis=1)
-    bi = jnp.argmin(sc, axis=1)
+        sc = zmssd(ref_rot[:, None, :], wins)              # (N, S)
+        step_ids = jnp.arange(max_steps, dtype=jnp.int32)[None, :]
+        sc = jnp.where((step_ids < n_steps[:, None]) & wok, sc, jnp.inf)
+        best_score = jnp.min(sc, axis=1)
+        bi = jnp.argmin(sc, axis=1)
     best_px = pxA + bi[:, None].astype(jnp.float32) * dir_lvl
 
     found = jnp.isfinite(best_score) & valid & ref_ok

@@ -34,7 +34,11 @@ _LW = 256
 
 
 def use_pallas() -> bool:
-    """Pallas path on TPU-like backends; XLA fallback on CPU."""
+    """Pallas path on TPU-like backends; XLA fallback on CPU.
+    SVO_NO_TILE_KERNEL=1 forces the XLA fallback (debug/bisect)."""
+    import os
+    if os.environ.get("SVO_NO_TILE_KERNEL"):
+        return False
     return jax.default_backend() not in ("cpu",)
 
 

@@ -108,21 +108,45 @@ class AlignResult(NamedTuple):
 
 
 def _precompute_level(ref_img, cam_fx, feats_px, feats_f, feats_depth,
-                      feats_valid, level: int):
+                      feats_valid, level: int, ref_pad=None):
     """Reference patches + fixed IC Jacobians at one pyramid level.
 
     Returns ref_patch (N, A), jac (N, A, 6), valid (N,).
+
+    With ref_pad (PaddedPyramid of the reference frame) the bordered
+    patch comes from ONE Pallas aligned tile load per feature plus a
+    4-tap static-shift bilinear blend (the fractional offset is shared
+    by all samples of a feature) instead of per-sample XLA gathers.
     """
     scale = 1.0 / (2.0 ** level)
     uv = feats_px * scale                         # level-l float px coords
-    # one bordered (P+2)^2 bilinear sample set gives the patch AND its
-    # central-difference gradients (identical values to sampling the 4
-    # shifted patches, at ~half the gathers)
-    grid_b = patch_grid(PATCH_HALFSIZE, border=1)     # ((P+2)^2, 2)
-    coords = uv[:, None, :] + grid_b[None]
-    vals_b, okb = bilinear(ref_img, coords)
     B = PATCH_SIZE + 2
-    pb = vals_b.reshape(-1, B, B)
+    if ref_pad is not None:
+        from rpg_svo_tpu.ops.pallas_tiles import gather_tiles
+        fx0 = jnp.floor(uv).astype(jnp.int32)
+        want = fx0 - (PATCH_HALFSIZE + 1)          # tile origin (N, 2)
+        lv = jnp.full((uv.shape[0],), level, jnp.int32)
+        t, x0c, y0c = gather_tiles(ref_pad, lv, want[:, 0], want[:, 1],
+                                   B + 2, B + 2)
+        # a clamped origin means the bordered patch leaves the level
+        okb_all = (x0c == want[:, 0]) & (y0c == want[:, 1])
+        frac = uv - fx0.astype(jnp.float32)
+        wx = frac[:, 0][:, None, None]
+        wy = frac[:, 1][:, None, None]
+        v = ((1 - wy) * (1 - wx) * t[:, 0: B + 1, 0: B + 1]
+             + (1 - wy) * wx * t[:, 0: B + 1, 1: B + 2]
+             + wy * (1 - wx) * t[:, 1: B + 2, 0: B + 1]
+             + wy * wx * t[:, 1: B + 2, 1: B + 2])
+        pb = v[:, :B, :B]
+        okb = okb_all[:, None] & jnp.ones((1, B * B), bool)
+    else:
+        # one bordered (P+2)^2 bilinear sample set gives the patch AND its
+        # central-difference gradients (identical values to sampling the 4
+        # shifted patches, at ~half the gathers)
+        grid_b = patch_grid(PATCH_HALFSIZE, border=1)     # ((P+2)^2, 2)
+        coords = uv[:, None, :] + grid_b[None]
+        vals_b, okb = bilinear(ref_img, coords)
+        pb = vals_b.reshape(-1, B, B)
     vals = pb[:, 1:-1, 1:-1].reshape(-1, PATCH_AREA)
     dx = (0.5 * (pb[:, 1:-1, 2:] - pb[:, 1:-1, :-2])).reshape(
         -1, PATCH_AREA)
@@ -183,9 +207,13 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
                 done, cur, jnp.where(bad & (i > 0), bst, new)),
             T, best_T, T_new)
         converged = jnp.max(jnp.abs(x)) < eps
+        # reference semantics (vk::NLLSSolver Gauss-Newton): a chi2
+        # increase rolls back AND STOPS the level — without this the
+        # loop burns the full 30-iteration budget every level
+        stopped = bad & (i > 0)
         return (jnp.where(done, i, i + 1), T_next, best_T, best_chi2,
                 jnp.where(done, H_last, H),
-                done | converged)
+                done | converged | stopped)
 
     # chunked loop: UNROLL masked iterations per while_loop step — the
     # sequential lax loop pays per-iteration dispatch on this backend, so
@@ -229,7 +257,7 @@ def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
                      min_level: int = 2,
                      n_iter: int = 30,
                      eps: float = 1e-7,
-                     cur_pad=None) -> AlignResult:
+                     cur_pad=None, ref_pad=None) -> AlignResult:
     """Coarse-to-fine sparse image alignment. Returns refined T_cur_ref."""
     T = T_cur_ref_init
     p_ref = feats_f * feats_depth[:, None]
@@ -239,7 +267,7 @@ def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
     for level in range(max_level, min_level - 1, -1):
         ref_patch, jac, valid = _precompute_level(
             ref_pyr[level], cam.fx, feats_px, feats_f, feats_depth,
-            feats_valid, level)
+            feats_valid, level, ref_pad=ref_pad)
         T, n_meas, H, chi2 = _level_gn(
             cur_pyr[level], cam, T, p_ref, ref_patch, jac, valid,
             level, n_iter, eps, cur_pad=cur_pad)
