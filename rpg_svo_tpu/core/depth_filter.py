@@ -232,7 +232,9 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
                         cam, max_n_kfs: int = 3,
                         conv_thresh: float = 200.0,
                         max_steps: int = 256, update_k: int = 0,
-                        cur_pad=None) -> SeedFieldUpdate:
+                        cur_pad=None,
+                        enable: jnp.ndarray | bool = True
+                        ) -> SeedFieldUpdate:
     """One batched update of ALL active seeds against the current frame.
 
     `update_k > 0` compacts the eligible seeds to at most that many before
@@ -261,7 +263,10 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
     p_cur = T_cur_ref.apply(seed.f / mu_safe[:, None])
     px_cur = cam.world2cam(p_cur)
     visible = (p_cur[..., 2] > 0.0) & cam.is_in_frame(px_cur)
-    eligible = active & visible
+    # `enable` gates the whole update (a traced bool): used by the fused
+    # step to skip non-due frames with a MASK rather than a lax.cond —
+    # an exact no-op on the seed state when False
+    eligible = active & visible & enable
 
     # --- epipolar search range in inverse depth (:236-238)
     sig = jnp.sqrt(jnp.maximum(seed.sigma2, 0.0))
@@ -278,7 +283,8 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
                                  dmax, max_steps=max_steps)
         ref_b, okb = warp_affine_patches_tiles(
             geom.A, tile, tile_xy0, px, level, geom.search_level)
-        if cur_pad is not None:
+        from rpg_svo_tpu.ops.pallas_scan import axis_scan_enabled
+        if cur_pad is not None and axis_scan_enabled():
             # axis-aligned Pallas scan reuses the align2d patch; the
             # rotated ref patch is only needed by the XLA strip path
             ref_r, okr = None, True
@@ -339,9 +345,10 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
     T_w_kf = T_kf_w.inverse()
     p_w = T_w_kf.apply(seed.f / jnp.maximum(mu_out, 1e-8)[:, None])
 
-    # --- prune: converged, NaN, aged-out
+    # --- prune: converged, NaN, aged-out (no-op on skipped frames)
     nan_seed = ~jnp.isfinite(z_inv_min) | ~jnp.isfinite(mu_out)
-    active_out = active & ~converged & ~nan_seed
+    active_out = jnp.where(enable, active & ~converged & ~nan_seed,
+                           seed.active)
 
     stats = SeedUpdateStats(
         n_updated=jnp.sum(matched).astype(jnp.int32),

@@ -203,18 +203,18 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     # The cond carries only (seed, pt): big read-only state (the keyframe
     # pyramid pool) enters as an operand but is NOT an output, so skipping
     # frames never copies it.
-    def do_update(_):
-        return df.update_seeds_fields(
-            m, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
-            conv_thresh=cfg.seed_convergence_sigma2_thresh,
-            max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k,
-            cur_pad=pad)
+    # skip frames are gated by a MASK (exact no-op), not a lax.cond: the
+    # update's cost is already data-dependent (the Pallas scan walks only
+    # live segments), and the Pallas kernels misbehaved under a cond
     if cfg.df_update_every > 1:
         due = ((frame_like.frame_id % cfg.df_update_every) == 0) | is_kf
-        upd = jax.lax.cond(due, do_update,
-                           lambda _: df.identity_seed_update(m.seed), None)
     else:
-        upd = do_update(None)
+        due = jnp.bool_(True)
+    upd = df.update_seeds_fields(
+        m, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
+        conv_thresh=cfg.seed_convergence_sigma2_thresh,
+        max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k,
+        cur_pad=pad, enable=due)
     m = df.apply_seed_update(m, upd)
 
     # --- keyframe insertion ------------------------------------------------

@@ -323,11 +323,13 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
     search_level = geom.search_level
     n_steps = geom.n_steps
 
-    if cur_pad is not None:
+    from rpg_svo_tpu.ops.pallas_scan import (epipolar_scan,
+                                              axis_scan_enabled)
+    if cur_pad is not None and axis_scan_enabled():
         # Pallas per-seed scan: axis-aligned 8x8 windows at rounded px
         # (reference-exact, matcher.cpp:263-291); loop bound = the seed's
-        # actual step count, so cost scales with live uncertainty
-        from rpg_svo_tpu.ops.pallas_scan import epipolar_scan
+        # actual step count, so cost scales with live uncertainty.
+        # OPT-IN for now: see the worker-fault note in ops/pallas_scan.py
         best_score, bi = epipolar_scan(
             cur_pad, search_level, pxA, dir_lvl, n_steps,
             _inner_patch(ref_patch_border), max_steps)
