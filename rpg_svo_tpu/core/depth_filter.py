@@ -201,15 +201,29 @@ def identity_seed_update(seed: SeedStore) -> SeedFieldUpdate:
         SeedUpdateStats(z, z, z, jnp.sum(seed.active).astype(jnp.int32)))
 
 
+ALLOC_K = 256   # max candidate points allocated per frame
+
+
 def apply_seed_update(m: MapState, upd: SeedFieldUpdate) -> MapState:
-    """Write back seed fields and allocate points for converged seeds."""
-    seed = m.seed._replace(active=upd.active, mu=upd.mu,
-                           sigma2=upd.sigma2, a=upd.a, b=upd.b)
+    """Write back seed fields and allocate points for converged seeds.
+
+    Converged seeds are COMPACTED to at most ALLOC_K before allocation so
+    the point-pool scatters (incl. the (TILE_R, TILE_R) tiles) touch
+    ALLOC_K rows instead of the whole seed pool every frame.  Seeds
+    converged beyond the cap stay alive and convert on a later frame.
+    """
+    seed = m.seed
+    order = jnp.argsort(~upd.converged, stable=True)[:ALLOC_K]
+    conv_c = upd.converged[order]
     pt, _ = alloc_points(
-        m.pt, upd.p_w, TYPE_CANDIDATE, seed.kf_slot, seed.px, seed.f,
-        seed.level, upd.converged, orig_type=seed.ftype,
-        orig_grad=seed.grad, orig_tile=seed.tile,
-        orig_tile_xy0=seed.tile_xy0)
+        m.pt, upd.p_w[order], TYPE_CANDIDATE, seed.kf_slot[order],
+        seed.px[order], seed.f[order], seed.level[order], conv_c,
+        orig_type=seed.ftype[order], orig_grad=seed.grad[order],
+        orig_tile=seed.tile[order], orig_tile_xy0=seed.tile_xy0[order])
+    allocated = jnp.zeros_like(upd.converged).at[order].set(conv_c)
+    active = upd.active | (upd.converged & ~allocated)
+    seed = seed._replace(active=active, mu=upd.mu,
+                         sigma2=upd.sigma2, a=upd.a, b=upd.b)
     return m._replace(seed=seed, pt=pt)
 
 
@@ -297,31 +311,55 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
             max_steps=max_steps, ftr_type=ftype, ftr_grad=grad,
             cur_pad=cur_pad)
 
+    def _gated_match(px, f, level, tile, tile_xy0, ftype, grad, T_cr,
+                     d_est, dmin, dmax, elig):
+        """Run _tile_match under a lax.cond on `enable` (small outputs:
+        per-item match fields) so skip frames pay nothing for the
+        epipolar scan — the expensive gathers live inside the branch."""
+        if isinstance(enable, bool):
+            if enable:
+                mm = _tile_match(px, f, level, tile, tile_xy0, ftype,
+                                 grad, T_cr, d_est, dmin, dmax, elig)
+                return mm.px_cur, mm.depth_ref, mm.success
+            k = px.shape[0]
+            return (jnp.zeros((k, 2), jnp.float32),
+                    jnp.ones((k,), jnp.float32), jnp.zeros((k,), bool))
+
+        def yes(_):
+            mm = _tile_match(px, f, level, tile, tile_xy0, ftype, grad,
+                             T_cr, d_est, dmin, dmax, elig)
+            return mm.px_cur, mm.depth_ref, mm.success
+
+        def no(_):
+            k = px.shape[0]
+            return (jnp.zeros((k, 2), jnp.float32),
+                    jnp.ones((k,), jnp.float32), jnp.zeros((k,), bool))
+
+        return jax.lax.cond(enable, yes, no, None)
+
     if update_k and update_k < S:
         # compact: eligible seeds first (stable, preserves pool order)
         sel = jnp.argsort(~eligible, stable=True)[:update_k]
         gather = lambda a: a[sel]
         elig_c = eligible[sel]
-        match_c = _tile_match(
+        _, depth_c, succ_c = _gated_match(
             seed.px[sel], seed.f[sel], seed.level[sel], seed.tile[sel],
             seed.tile_xy0[sel], seed.ftype[sel], seed.grad[sel],
             jax.tree.map(gather, T_cur_ref), gather(1.0 / mu_safe),
             gather(d_min), gather(d_max), elig_c)
         # scatter back; seeds beyond the cap read as "not searched"
         searched = jnp.zeros((S,), bool).at[sel].set(elig_c)
-        success = jnp.zeros((S,), bool).at[sel].set(
-            match_c.success & elig_c)
-        depth_ref = jnp.ones((S,), jnp.float32).at[sel].set(match_c.depth_ref)
+        success = jnp.zeros((S,), bool).at[sel].set(succ_c & elig_c)
+        depth_ref = jnp.ones((S,), jnp.float32).at[sel].set(depth_c)
         matched = success
         failed_search = searched & ~success
     else:
-        match = _tile_match(
+        _, depth_ref, succ = _gated_match(
             seed.px, seed.f, seed.level, seed.tile, seed.tile_xy0,
             seed.ftype, seed.grad, T_cur_ref, 1.0 / mu_safe, d_min, d_max,
             eligible)
-        matched = eligible & match.success
-        depth_ref = match.depth_ref
-        failed_search = eligible & ~match.success
+        matched = eligible & succ
+        failed_search = eligible & ~succ
 
     # --- failed match: outlier evidence b += 1 (:243-247)
     b_new = jnp.where(failed_search, seed.b + 1.0, seed.b)

@@ -129,11 +129,17 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
                          m.kf.feat_type[kf_safe, ft_safe])
     ref_grad = jnp.where(use_orig[:, None], pt.orig_grad[sel_pt],
                          m.kf.feat_grad[kf_safe, ft_safe])
-    # creation-time tiles of the chosen observation (no pyramid reads)
+    # creation-time tiles of the chosen observation (no pyramid reads);
+    # flatten the (kf, feat) pair to ONE row index — a two-axis gather of
+    # tile rows lowers to a full-pool copy + scatter on TPU
+    Kk, Ff = m.kf.feat_tile.shape[:2]
+    row = kf_safe * Ff + ft_safe
+    kf_tile_rows = m.kf.feat_tile.reshape(Kk * Ff, *m.kf.feat_tile.shape[2:])
+    kf_xy0_rows = m.kf.feat_tile_xy0.reshape(Kk * Ff, 2)
     ref_tile = jnp.where(use_orig[:, None, None], pt.orig_tile[sel_pt],
-                         m.kf.feat_tile[kf_safe, ft_safe])
+                         kf_tile_rows[row])
     ref_xy0 = jnp.where(use_orig[:, None], pt.orig_tile_xy0[sel_pt],
-                        m.kf.feat_tile_xy0[kf_safe, ft_safe])
+                        kf_xy0_rows[row])
     # 60 deg cutoff (point.cpp:97-117)
     view_ok = best_cos > 0.5
     attempt = has & view_ok & (ref_kf >= 0)
