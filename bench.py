@@ -42,7 +42,10 @@ def main():
 
     ds = SyntheticDataset(n_frames=n_frames, trajectory="circle",
                           radius=0.25, revolutions=0.5)
-    cfg = fast_preset(grid_size=25)
+    cfg = fast_preset(grid_size=int(os.environ.get("BENCH_GRID", "25")),
+                      epi_max_steps=int(os.environ.get("BENCH_EPI",
+                                                       "128")),
+                      df_update_k=int(os.environ.get("BENCH_K", "512")))
     fh = FrameHandler(ds.cam, cfg)
 
     imgs = []

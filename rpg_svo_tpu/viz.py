@@ -139,3 +139,39 @@ class InfoStream:
         if not dt:
             return None
         return len(dt) / sum(dt)
+
+@dataclasses.dataclass
+class FeatureMsg:
+    """svo_msgs/Feature equivalent: one tracked feature observation."""
+    frame_id: int
+    feature_id: int
+    px: tuple          # (u, v) level-0 pixel
+    level: int
+    point_id: int      # map point index, -1 if none
+    type: int          # FEATURE_CORNER / FEATURE_EDGELET
+
+
+@dataclasses.dataclass
+class NbvTrajectory:
+    """svo_msgs/NbvTrajectory equivalent: a candidate trajectory for
+    next-best-view planning (sequence of stamped poses)."""
+    timestamps: List[float]
+    positions: List[tuple]      # (x, y, z) world
+    orientations: List[tuple]   # quaternions (w, x, y, z)
+
+
+def features_from_frame(frame, max_n: int = 1000) -> List[FeatureMsg]:
+    """Extract FeatureMsg records from a FrameState (valid slots only)."""
+    out = []
+    px = np.asarray(frame.feat_px)
+    lvl = np.asarray(frame.feat_level)
+    pid = np.asarray(frame.feat_point)
+    typ = np.asarray(frame.feat_type)
+    ok = np.asarray(frame.feat_valid)
+    fid = int(frame.frame_id)
+    for i in np.nonzero(ok)[0][:max_n]:
+        out.append(FeatureMsg(fid, int(i), (float(px[i, 0]),
+                                            float(px[i, 1])),
+                              int(lvl[i]), int(pid[i]), int(typ[i])))
+    return out
+
