@@ -19,6 +19,33 @@ import os
 import time
 
 
+def _feature_depth_errors(fh, depth_map):
+    """|estimated - GT| depth along the ray for tracked features.
+
+    Mirrors BenchmarkNode::traceDepthError
+    (svo_ros/src/benchmark_node.cpp:113-131): for every feature with a 3D
+    point, compare its depth in the current frame to the ground-truth
+    depth map at the feature pixel."""
+    import numpy as np
+    lf = fh.last_frame
+    px = np.asarray(lf.feat_px)
+    pid = np.asarray(lf.feat_point)
+    ok = np.asarray(lf.feat_valid) & (pid >= 0)
+    if not ok.any():
+        return []
+    pos = np.asarray(fh.map.pt.pos)[np.clip(pid, 0, None)]
+    R, t = np.asarray(lf.R), np.asarray(lf.t)
+    p_cam = pos @ R.T + t
+    z = np.linalg.norm(p_cam, axis=-1)
+    u = np.clip(np.round(px[:, 0]).astype(int), 0,
+                depth_map.shape[1] - 1)
+    v = np.clip(np.round(px[:, 1]).astype(int), 0,
+                depth_map.shape[0] - 1)
+    gt_z = np.asarray(depth_map)[v, u]
+    errs = np.abs(z - gt_z)[ok & (gt_z > 0)]
+    return errs.tolist()
+
+
 def run(args):
     import jax
     import jax.numpy as jnp
@@ -36,6 +63,11 @@ def run(args):
     os.makedirs(args.out, exist_ok=True)
     cfg = accurate_preset() if args.preset == "accurate" else fast_preset()
     cfg = cfg.replace(grid_size=args.grid_size)
+    if getattr(args, "min_fts", 0):
+        # quality gate override for small images (the reference mutates
+        # Config accessors the same way in its tests, e.g.
+        # svo/test/test_sparse_img_align.cpp:156-157)
+        cfg = cfg.replace(quality_min_fts=args.min_fts)
 
     gt = None  # (ts, t (N,3), q (N,4) xyzw)
     if args.dataset == "synthetic":
@@ -87,8 +119,47 @@ def run(args):
             for i in range(min(len(ds), args.frames)):
                 img, ts = ds.frame(i)
                 yield ts, jnp.asarray(img), None, None
+    elif args.dataset == "blender":
+        # reference blender-benchmark protocol
+        # (svo_ros/src/benchmark_node.cpp:183-256): GT trajectory +
+        # per-pixel GT depth maps; frame 0 seeded with GT-depth features
+        from rpg_svo_tpu.io.datasets import BlenderDataset
+        from rpg_svo_tpu.geometry.cameras import PinholeCamera
+        from rpg_svo_tpu.geometry.se3 import rot_to_quat
+        ds = BlenderDataset(args.path)
+        img0, _, _ = ds.frame(0)
+        shape = img0.shape
+        cam_p = [float(x) for x in args.cam.split(",")] if args.cam else \
+            [315.5, 315.5, 376.0, 240.0]
+        cam = PinholeCamera.make(shape[1], shape[0], *cam_p[:4])
+        n = min(len(ds), args.frames)
+        gt_T = [ds.frame(i)[1] for i in range(n)]
+        gt = (np.arange(n, dtype=np.float64) / 50.0,
+              np.stack([np.asarray(T.t) for T in gt_T]),
+              np.stack([np.asarray(rot_to_quat(T.R)) for T in gt_T]))
+
+        def frames():
+            for i in range(n):
+                img, T, _ = ds.frame(i)
+                d0 = ds.depth(i, shape) if i == 0 else None
+                yield i / 50.0, jnp.asarray(img), \
+                    (jnp.asarray(d0) if d0 is not None else None), T
     else:
         raise SystemExit(f"unknown dataset {args.dataset}")
+
+    if args.noise_sigma > 0:
+        # benchmark-level image noise injection
+        # (benchmark_node.cpp:166-176, dataset_noise_sigma)
+        rng = np.random.default_rng(args.noise_seed)
+        base_frames = frames
+
+        def frames():  # noqa: F811
+            for ts, img, d0, T_gt in base_frames():
+                noisy = np.asarray(img) + rng.normal(
+                    0.0, args.noise_sigma, np.asarray(img).shape)
+                yield ts, jnp.asarray(
+                    np.clip(noisy, 0.0, 255.0).astype(np.float32)), \
+                    d0, T_gt
 
     fh = FrameHandler(cam, cfg, img_shape=shape)
     tracer = TraceWriter(args.out, "trace")
@@ -96,12 +167,18 @@ def run(args):
     entries = []
     est_ts = []
 
+    # per-frame error tracefiles (benchmark_node tracePoseError /
+    # traceDepthError, benchmark_node.cpp:91-131)
+    terr_rows, rerr_rows, depth_errs = [], [], []
+
     t_start = time.perf_counter()
+    frame_i = 0
     for ts, img, depth0, T_gt in frames():
-        if depth0 is not None and args.seed_first_frame:
+        if frame_i == 0 and depth0 is not None and args.seed_first_frame:
             fh.set_first_frame_with_depth(img, T_gt.inverse(), depth0, ts)
             entries.append(pose_entry(ts, T_gt))
             est_ts.append(ts)
+            frame_i += 1
             continue
         info = fh.add_image(img, ts)
         tracer.log_frame(info)
@@ -110,17 +187,51 @@ def run(args):
         if args.verbose:
             print(status_line(rec, stream.fps))
         if fh.stage == "default":
-            entries.append(pose_entry(ts, fh.last_frame.T_f_w.inverse()))
+            T_wc = fh.last_frame.T_f_w.inverse()
+            entries.append(pose_entry(ts, T_wc))
             est_ts.append(ts)
+            if T_gt is not None:
+                dt_vec = np.asarray(T_wc.t) - np.asarray(T_gt.t)
+                terr_rows.append((ts, float(np.linalg.norm(dt_vec)),
+                                  *dt_vec.tolist()))
+                dR = np.asarray(T_gt.R).T @ np.asarray(T_wc.R)
+                ang = float(np.arccos(np.clip(
+                    (np.trace(dR) - 1.0) / 2.0, -1.0, 1.0)))
+                rerr_rows.append((ts, ang))
+            if args.dataset == "blender" and args.trace_depth:
+                dm = ds.depth(frame_i, shape)
+                if dm is not None:
+                    depth_errs.extend(_feature_depth_errors(fh, dm))
+        frame_i += 1
     wall = time.perf_counter() - t_start
 
     traj_path = os.path.join(args.out, "traj_estimate.txt")
     write_tum(traj_path, entries)
     trace_path = tracer.flush()
+    if terr_rows:
+        with open(os.path.join(args.out, "translation_error.txt"),
+                  "w") as f:
+            for row in terr_rows:
+                f.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+        with open(os.path.join(args.out, "orientation_error.txt"),
+                  "w") as f:
+            for row in rerr_rows:
+                f.write(" ".join(f"{v:.9f}" for v in row) + "\n")
+    if depth_errs:
+        from rpg_svo_tpu.analysis.depth import depth_error_stats
+        with open(os.path.join(args.out, "depth_error.txt"), "w") as f:
+            for e in depth_errs:
+                f.write(f"{e:.9f}\n")
+    if args.ply:
+        from rpg_svo_tpu.io.ply import map_points_ply
+        map_points_ply(os.path.join(args.out, "map_points.ply"), fh.map)
 
     report = {"frames": len(stream.infos), "wall_s": round(wall, 3),
               "fps": round(len(stream.infos) / max(wall, 1e-9), 2),
               "trajectory": traj_path, "trace": trace_path}
+    if depth_errs:
+        from rpg_svo_tpu.analysis.depth import depth_error_stats
+        report["depth_error"] = depth_error_stats(np.asarray(depth_errs))
     if gt is not None and len(entries) > 3:
         est_t = np.stack([e[1] for e in entries])
         est_q = np.stack([e[2] for e in entries])
@@ -152,6 +263,17 @@ def main():
     ap.add_argument("--seed-first-frame", action="store_true",
                     default=True,
                     help="seed frame 0 with GT depth when available")
+    ap.add_argument("--noise-sigma", type=float, default=0.0,
+                    help="Gaussian image noise stddev (benchmark_node's "
+                         "dataset_noise_sigma)")
+    ap.add_argument("--noise-seed", type=int, default=0)
+    ap.add_argument("--trace-depth", action="store_true",
+                    help="trace per-feature depth errors vs GT depth "
+                         "maps (blender datasets)")
+    ap.add_argument("--min-fts", type=int, default=0,
+                    help="override quality_min_fts (small images)")
+    ap.add_argument("--ply", action="store_true",
+                    help="export final map points as PLY")
     ap.add_argument("--verbose", action="store_true")
     run(ap.parse_args())
 

@@ -1,10 +1,12 @@
-"""Stage-cost estimation by config ablation on the real TPU.
+"""Stage-cost estimation by config ablation on the real TPU (scan mode).
 
 The op-level profiler can crash the tunneled TPU worker, so instead this
-times the fused step under several config ablations; differences between
-variants bound each stage's cost.  Usage: python tools_stage_timing.py
+times the fused vo_scan under several config ablations; differences
+between variants bound each stage's cost.  Usage:
+  python tools_stage_timing.py [variant ...]
 """
 import os
+import sys
 import time
 
 import jax
@@ -19,7 +21,8 @@ from rpg_svo_tpu.core.pipeline import FrameHandler
 from rpg_svo_tpu.core import fused
 from rpg_svo_tpu.utils.synthetic import SyntheticDataset
 
-N_FRAMES = 60
+N_FRAMES = 120
+CHUNK = 10
 ds = SyntheticDataset(n_frames=N_FRAMES, trajectory="circle",
                       radius=0.25, revolutions=0.5)
 imgs = []
@@ -34,48 +37,57 @@ jax.block_until_ready(imgs)
 VARIANTS = {
     "full": {},
     "seeds_never": {"df_update_every": 1000000},
-    "seeds_k128": {"df_update_k": 128},
-    "epi32": {"epi_max_steps": 32},
+    "seeds_every4": {"df_update_every": 4},
+    "seeds_k256": {"df_update_k": 256},
+    "epi64": {"epi_max_steps": 64},
     "align_1iter": {"img_align_n_iter": 1},
     "pose_1iter": {"poseoptim_num_iter": 1},
     "struct_0": {"structureoptim_max_pts": 1,
                  "structureoptim_num_iter": 1},
+    "grid40": {"grid_size": 40},
 }
 
 
 def run(name, overrides):
-    cfg = fast_preset(grid_size=25, **overrides)
+    ov = dict(overrides)
+    gs = ov.pop("grid_size", 25)
+    cfg = fast_preset(grid_size=gs, epi_max_steps=128, df_update_k=512)
+    cfg = cfg.replace(**ov) if ov else cfg
     fh = FrameHandler(ds.cam, cfg)
-    fh.set_first_frame_with_depth(img0, T0.inverse(), depth0)
+    # fresh copy: the donated scan deletes the previous run's state, whose
+    # pyramid level 0 aliases img0
+    fh.set_first_frame_with_depth(jnp.array(img0, copy=True),
+                                  T0.inverse(), depth0)
     state = fused.state_from_handler(fh)
 
-    def step(st, img):
-        return fused.vo_step_donated(st, img, ds.cam, cfg, fh.ncx,
+    def scan(st, chunk_imgs):
+        return fused.vo_scan_donated(st, chunk_imgs, ds.cam, cfg, fh.ncx,
                                      fh.ncy, fh.img_shape)
 
-    for i in range(6):
-        state, out = step(state, imgs[i])
-    jax.block_until_ready(out.t_wc)
+    T = imgs.shape[0]
+    state, outs = scan(state, imgs[:CHUNK])
+    jax.block_until_ready(outs.t_wc)
+    n_chunks = (T - CHUNK) // CHUNK
     t0 = time.perf_counter()
     n = 0
-    for i in range(6, imgs.shape[0]):
-        state, out = step(state, imgs[i])
-        n += 1
-        if n % 6 == 0:
-            out.t_wc.block_until_ready()
-    jax.block_until_ready(state.t)
+    for c in range(n_chunks):
+        lo = CHUNK + c * CHUNK
+        state, outs = scan(state, imgs[lo:lo + CHUNK])
+        n += CHUNK
+        outs.t_wc.block_until_ready()
     dt = (time.perf_counter() - t0) / n
     print(f"{name:14s} {dt*1e3:7.2f} ms/frame", flush=True)
     return dt
 
 
+names = sys.argv[1:] or list(VARIANTS)
 base = None
-for name, ov in VARIANTS.items():
+for name in names:
     try:
-        dt = run(name, ov)
+        dt = run(name, VARIANTS[name])
     except Exception as e:
-        print(f"{name:14s} FAILED: {type(e).__name__}", flush=True)
-        time.sleep(90)   # worker recovery
+        print(f"{name:14s} FAILED: {type(e).__name__}: {e}", flush=True)
+        time.sleep(90)
         continue
     if name == "full":
         base = dt
