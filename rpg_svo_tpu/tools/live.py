@@ -47,6 +47,8 @@ def _parse_args(argv=None):
     ap.add_argument("--cam", default="",
                     help="pinhole intrinsics fx,fy,cx,cy,width,height "
                          "(required for a directory source)")
+    ap.add_argument("--cam-yaml", default="",
+                    help="camera YAML (cam_* keys, Pinhole or ATAN)")
     ap.add_argument("--traj-out", default="",
                     help="write TUM-format trajectory here")
     ap.add_argument("--viz-dir", default="",
@@ -100,11 +102,16 @@ def main(argv=None):
     else:
         from rpg_svo_tpu.geometry.cameras import PinholeCamera
         from rpg_svo_tpu.io.datasets import load_image_gray
-        if not args.cam:
-            sys.exit("--cam fx,fy,cx,cy,w,h is required for a directory "
-                     "source")
-        fx, fy, cx, cy, w, h = [float(v) for v in args.cam.split(",")]
-        cam = PinholeCamera.make(int(w), int(h), fx, fy, cx, cy)
+        if args.cam_yaml:
+            # vikit camera_loader path (vo_node.cpp:72-73)
+            from rpg_svo_tpu.io.camera_loader import load_camera_yaml
+            cam = load_camera_yaml(args.cam_yaml)
+        elif args.cam:
+            fx, fy, cx, cy, w, h = [float(v) for v in args.cam.split(",")]
+            cam = PinholeCamera.make(int(w), int(h), fx, fy, cx, cy)
+        else:
+            sys.exit("--cam fx,fy,cx,cy,w,h or --cam-yaml is required "
+                     "for a directory source")
 
         def frames():
             seen = set()
