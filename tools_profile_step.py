@@ -1,9 +1,16 @@
-"""Profile the fused vo_step on TPU: capture a jax profiler trace and
-print per-op device time aggregated by op category/name."""
+"""Profile the fused vo_scan on TPU: capture a jax profiler trace and
+print per-op device time aggregated by op name prefix.
+
+Parses the xplane.pb directly with tensorflow's xplane_pb2 under the
+pure-python protobuf implementation (the tensorboard-plugin converter is
+broken in this image).
+"""
 import glob
-import json
 import os
 import sys
+from collections import defaultdict
+
+os.environ["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
 
 import jax
 import jax.numpy as jnp
@@ -17,9 +24,11 @@ from rpg_svo_tpu.core import fused
 from rpg_svo_tpu.utils.synthetic import SyntheticDataset
 
 n_frames = 40
+CHUNK = 10
 ds = SyntheticDataset(n_frames=n_frames, trajectory="circle",
                       radius=0.25, revolutions=0.5)
-cfg = fast_preset(grid_size=25)
+cfg = fast_preset(grid_size=int(os.environ.get("BENCH_GRID", "25")),
+                  epi_max_steps=128, df_update_k=512)
 fh = FrameHandler(ds.cam, cfg)
 imgs = []
 for i in range(n_frames):
@@ -29,36 +38,68 @@ for i in range(n_frames):
         img0, depth0, T0 = img, depth, T
 imgs = jnp.stack(imgs[1:])
 jax.block_until_ready(imgs)
-fh.set_first_frame_with_depth(img0, T0.inverse(), depth0)
+fh.set_first_frame_with_depth(jnp.array(img0, copy=True),
+                              T0.inverse(), depth0)
 state = fused.state_from_handler(fh)
 
-def step(st, img):
-    return fused.vo_step(st, img, ds.cam, cfg, fh.ncx, fh.ncy, fh.img_shape)
 
-for i in range(10):
-    state, out = step(state, imgs[i])
-    if i % 3 == 2:
-        jax.block_until_ready(out.t_wc)
-jax.block_until_ready(out.t_wc)
+def scan(st, chunk_imgs):
+    return fused.vo_scan_donated(st, chunk_imgs, ds.cam, cfg, fh.ncx,
+                                 fh.ncy, fh.img_shape)
+
+
+try:
+    state, outs = scan(state, imgs[:CHUNK])
+    jax.block_until_ready(outs.t_wc)
+except Exception as e:   # noqa: BLE001 — intermittent worker fault on a
+    # fresh first execution (see CLAUDE.md); re-exec a new interpreter
+    import time
+    attempt = int(os.environ.get("PROF_ATTEMPT", "0"))
+    print(f"# attempt {attempt} failed: {type(e).__name__}",
+          file=sys.stderr)
+    if attempt >= 3:
+        raise
+    time.sleep(120)
+    os.environ["PROF_ATTEMPT"] = str(attempt + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 logdir = "/tmp/jaxprof"
 os.system(f"rm -rf {logdir}")
 with jax.profiler.trace(logdir):
-    for i in range(10, 14):
-        state, out = step(state, imgs[i])
-        jax.block_until_ready(out.t_wc)
+    state, outs = scan(state, imgs[CHUNK:2 * CHUNK])
+    jax.block_until_ready(outs.t_wc)
+    state, outs = scan(state, imgs[2 * CHUNK:3 * CHUNK])
+    jax.block_until_ready(outs.t_wc)
 
-# parse xplane
 paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
 print("xplane files:", paths, file=sys.stderr)
-from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-params = {"tqx": "out:json;"}
-data, _ = rtd.xspace_to_tool_data(paths, "framework_op_stats", params)
-try:
-    obj = json.loads(data)
-    print(json.dumps(obj)[:2000])
-except Exception:
-    out_path = "/tmp/opstats.out"
-    with open(out_path, "wb") as f:
-        f.write(data if isinstance(data, bytes) else data.encode())
-    print("wrote", out_path)
+
+from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E402
+
+agg = defaultdict(float)
+total = 0.0
+for path in paths:
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(path, "rb").read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name:
+            continue
+        ev_meta = plane.event_metadata
+        for line in plane.lines:
+            if line.name not in ("XLA Ops", "XLA TraceMe", "Steps"):
+                # device op lines are usually "XLA Ops"
+                pass
+            for ev in line.events:
+                name = ev_meta[ev.metadata_id].name if ev.metadata_id in \
+                    ev_meta else str(ev.metadata_id)
+                dur = ev.duration_ps / 1e9   # ms
+                if line.name == "XLA Ops":
+                    # aggregate by fusion-name prefix
+                    key = name.split(".")[0]
+                    agg[key] += dur
+                    total += dur
+
+print(f"total device op time: {total:.2f} ms over 20 frames "
+      f"({total/20:.3f} ms/frame)")
+for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
+    print(f"{v/20:8.4f} ms/frame  {k}")
