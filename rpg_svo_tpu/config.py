@@ -96,6 +96,12 @@ class Config:
     use_imu: bool = False
     img_imu_delay: float = 0.0
 
+    # --- debug/measurement only ---
+    # Stage names stubbed out of the fused step at trace time; used by
+    # tools_stage_timing.py to attribute device time by differencing.
+    # Must stay () in production (it changes results).
+    ablate: tuple = ()
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 

@@ -108,6 +108,9 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     # the XLA gather paths (debug/bisect switch, trace-time)
     import os as _os
     pad = None if _os.environ.get("SVO_NO_PAD") else PaddedPyramid(pyr)
+    # cfg.ablate: stages stubbed out at trace time, for device-time
+    # attribution by differencing (tools_stage_timing.py). () in production.
+    abl = frozenset(cfg.ablate)
     m = state.m
     P = m.pt.pos.shape[0]
 
@@ -139,28 +142,57 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     ref_ok = ref_ok & (m.pt.ptype[pid_safe] != svomap.TYPE_DELETED)
 
     # --- sparse image alignment -----------------------------------------
-    align = sparse_img_align(
-        ref_pyr, pyr, cam, SE3.identity(), ref_px, ref_f, depth, ref_ok,
-        max_level=cfg.klt_max_level, min_level=cfg.klt_min_level,
-        n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps, cur_pad=pad,
-        ref_pad=ref_pad)
-    T_cur = align.T_cur_ref * T_ref
-    # relocalization gate: need > 30 tracked to accept the alignment
-    reloc_fail = reloc & (align.n_tracked <= 30)
+    if "align" in abl:
+        align = None
+        T_cur = T_ref
+        reloc_fail = jnp.bool_(False)
+    else:
+        align = sparse_img_align(
+            ref_pyr, pyr, cam, SE3.identity(), ref_px, ref_f, depth, ref_ok,
+            max_level=cfg.klt_max_level, min_level=cfg.klt_min_level,
+            n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps, cur_pad=pad,
+            ref_pad=ref_pad)
+        T_cur = align.T_cur_ref * T_ref
+        # relocalization gate: need > 30 tracked to accept the alignment
+        reloc_fail = reloc & (align.n_tracked <= 30)
 
     # --- reprojection + matching ----------------------------------------
-    pt2, rep = reproject_map(m, flat, T_cur, cam, cfg.grid_size, ncx, ncy,
-                             max_level=n_levels - 1, cur_pad=pad)
-    m = svomap.scrub_dead_references(m._replace(pt=pt2))
+    if "reproject" in abl:
+        from rpg_svo_tpu.core.reprojector import ReprojectResult
+        nC = C - ref_px.shape[0]
+        padC = lambda a, fill=0: jnp.concatenate(
+            [a, jnp.full((nC,) + a.shape[1:], fill, a.dtype)]) \
+            if nC > 0 else a[:C]
+        rep = ReprojectResult(
+            feat_px=padC(ref_px.astype(jnp.float32)),
+            feat_level=padC(jnp.zeros((ref_px.shape[0],), jnp.int32)),
+            feat_point=padC(ref_pid, -1),
+            feat_valid=padC(ref_ok, False),
+            feat_type=padC(jnp.zeros((ref_px.shape[0],), jnp.int32)),
+            feat_grad=padC(jnp.zeros((ref_px.shape[0], 2), jnp.float32)),
+            n_matches=jnp.sum(ref_ok).astype(jnp.int32),
+            n_trials=jnp.int32(0))
+    else:
+        pt2, rep = reproject_map(m, flat, T_cur, cam, cfg.grid_size, ncx,
+                                 ncy, max_level=n_levels - 1, cur_pad=pad)
+        m = svomap.scrub_dead_references(m._replace(pt=pt2))
     enough = rep.n_matches >= cfg.quality_min_fts
 
     # --- pose optimization -----------------------------------------------
     feat_f = cam.cam2world(rep.feat_px)
     pid = jnp.clip(rep.feat_point, 0, P - 1)
-    pres = optimize_pose(
-        T_cur, m.pt.pos[pid], feat_f, rep.feat_level,
-        rep.feat_valid & enough, cam.fx,
-        reproj_thresh=cfg.poseoptim_thresh, n_iter=cfg.poseoptim_num_iter)
+    if "pose" in abl:
+        from rpg_svo_tpu.ops.pose_opt import PoseOptResult
+        pres = PoseOptResult(
+            T_cur, jnp.eye(6), rep.feat_valid & enough,
+            rep.n_matches.astype(jnp.int32), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.float32(1.0))
+    else:
+        pres = optimize_pose(
+            T_cur, m.pt.pos[pid], feat_f, rep.feat_level,
+            rep.feat_valid & enough, cam.fx,
+            reproj_thresh=cfg.poseoptim_thresh,
+            n_iter=cfg.poseoptim_num_iter)
     enough_edges = pres.n_obs >= 20
 
     # --- quality gates (frame_handler_base.cpp:157-171) ------------------
@@ -178,8 +210,9 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
         jnp.where(feat_valid, rep.feat_point, -1), feat_valid)
 
     # --- structure optimization (skipped on failure via masks) ----------
-    m = _structure_opt_fused(m, frame_like, cfg.structureoptim_max_pts,
-                             cfg.structureoptim_num_iter, ~failed)
+    if "struct" not in abl:
+        m = _structure_opt_fused(m, frame_like, cfg.structureoptim_max_pts,
+                                 cfg.structureoptim_num_iter, ~failed)
 
     # --- scene depth + keyframe policy -----------------------------------
     p_feat = T_out.apply(m.pt.pos[pid])
@@ -196,6 +229,9 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
         & (jnp.abs(relpos[:, 2]) / depth_mean < cfg.kfselect_mindist * 1.3)
     need_kf = ~jnp.any(overlap & near)
     is_kf = (~failed) & need_kf & (~dropped)
+    if "kf" in abl:
+        # constant-false predicate: XLA folds every is_kf cond/scatter away
+        is_kf = jnp.bool_(False)
 
     # --- depth filter: update all seeds against this frame ---------------
     # (every df_update_every-th frame; keyframe frames always update —
@@ -210,12 +246,13 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
         due = ((frame_like.frame_id % cfg.df_update_every) == 0) | is_kf
     else:
         due = jnp.bool_(True)
-    upd = df.update_seeds_fields(
-        m, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
-        conv_thresh=cfg.seed_convergence_sigma2_thresh,
-        max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k,
-        cur_pad=pad, enable=due)
-    m = df.apply_seed_update(m, upd)
+    if "df" not in abl:
+        upd = df.update_seeds_fields(
+            m, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
+            conv_thresh=cfg.seed_convergence_sigma2_thresh,
+            max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k,
+            cur_pad=pad, enable=due)
+        m = df.apply_seed_update(m, upd)
 
     # --- keyframe insertion ------------------------------------------------
     # All pool mutations are masked scatters gated on is_kf (an exact no-op

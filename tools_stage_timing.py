@@ -45,6 +45,15 @@ VARIANTS = {
     "struct_0": {"structureoptim_max_pts": 1,
                  "structureoptim_num_iter": 1},
     "grid40": {"grid_size": 40},
+    # code-level stage stubs (cfg.ablate; exact stage removal)
+    "no_align": {"ablate": ("align",)},
+    "no_reproject": {"ablate": ("reproject",)},
+    "no_pose": {"ablate": ("pose",)},
+    "no_struct": {"ablate": ("struct",)},
+    "no_df": {"ablate": ("df",)},
+    "no_kf": {"ablate": ("kf",)},
+    "only_pyr": {"ablate": ("align", "reproject", "pose", "struct",
+                            "df", "kf")},
 }
 
 
@@ -70,13 +79,17 @@ def run(name, overrides):
     n_chunks = (T - CHUNK) // CHUNK
     t0 = time.perf_counter()
     n = 0
+    n_kf = n_fail = 0
     for c in range(n_chunks):
         lo = CHUNK + c * CHUNK
         state, outs = scan(state, imgs[lo:lo + CHUNK])
         n += CHUNK
         outs.t_wc.block_until_ready()
+        n_kf += int(jnp.sum(outs.is_keyframe))
+        n_fail += int(jnp.sum(outs.failed))
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:14s} {dt*1e3:7.2f} ms/frame", flush=True)
+    print(f"{name:14s} {dt*1e3:7.2f} ms/frame   "
+          f"(kf={n_kf} fail={n_fail})", flush=True)
     return dt
 
 
