@@ -63,7 +63,7 @@ def save_handler(path: str, fh) -> None:
 def load_handler(path: str, fh) -> None:
     """Restore state saved by save_handler into a compatible handler."""
     from rpg_svo_tpu.core.frame import FrameState
-    from rpg_svo_tpu.ops.interp import FlatPyramid
+    from rpg_svo_tpu.ops.pallas_tiles import PaddedPyramid
     data = np.load(path)
     flat_t, treedef = jax.tree.flatten(fh.map)
     n = int(data["n_map"])
@@ -80,8 +80,10 @@ def load_handler(path: str, fh) -> None:
     pyr = tuple(fr[:n_lv])
     (R, t, frame_id, ts, feat_px, feat_f, feat_level, feat_point,
      feat_valid, feat_type, feat_grad) = fr[n_lv:n_lv + 11]
+    pad = PaddedPyramid(pyr)
     fh.last_frame = FrameState(
-        pyr=pyr, flat=FlatPyramid(pyr), R=R, t=t, frame_id=frame_id,
+        pyr=pyr, pad=pad, flat=pad.flat_view(), R=R, t=t,
+        frame_id=frame_id,
         timestamp=ts, feat_px=feat_px, feat_f=feat_f,
         feat_level=feat_level, feat_point=feat_point,
         feat_valid=feat_valid, feat_type=feat_type, feat_grad=feat_grad)

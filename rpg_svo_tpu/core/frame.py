@@ -15,13 +15,15 @@ import jax.numpy as jnp
 
 from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.ops.interp import FlatPyramid
+from rpg_svo_tpu.ops.pallas_tiles import PaddedPyramid
 from rpg_svo_tpu.ops.pyramid import build_pyramid
 from rpg_svo_tpu.ops.robust import masked_median
 
 
 class FrameState(NamedTuple):
     pyr: Tuple[jnp.ndarray, ...]
-    flat: FlatPyramid
+    pad: PaddedPyramid         # padded-stack layout (the storage format)
+    flat: FlatPyramid          # strided flat view of `pad` (zero-copy)
     R: jnp.ndarray             # T_f_w rotation
     t: jnp.ndarray             # T_f_w translation
     frame_id: jnp.ndarray      # int32
@@ -46,11 +48,13 @@ def make_frame(img: jnp.ndarray, n_levels: int, n_cells: int,
                frame_id: int, timestamp: float,
                T_f_w: SE3 | None = None) -> FrameState:
     pyr = build_pyramid(img, n_levels)
+    pad = PaddedPyramid(pyr)
     if T_f_w is None:
         T_f_w = SE3.identity()
     return FrameState(
         pyr=pyr,
-        flat=FlatPyramid(pyr),
+        pad=pad,
+        flat=pad.flat_view(),
         R=T_f_w.R, t=T_f_w.t,
         frame_id=jnp.int32(frame_id),
         timestamp=jnp.float32(timestamp),

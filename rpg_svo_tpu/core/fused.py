@@ -48,8 +48,10 @@ STAGE_RELOC = 1
 
 class VOState(NamedTuple):
     m: MapState
-    # last frame (arrays only)
-    pyr: Tuple[jnp.ndarray, ...]
+    # last frame (arrays only); the pyramid is carried as ONE padded
+    # stack (ops/pallas_tiles.PaddedPyramid) — the layout every sampler
+    # reads directly, so no per-step relayout of the reference frame
+    pad: PaddedPyramid
     R: jnp.ndarray
     t: jnp.ndarray
     frame_id: jnp.ndarray
@@ -76,23 +78,11 @@ def state_from_handler(fh) -> VOState:
     """Build a VOState from a host FrameHandler (after bootstrap)."""
     lf = fh.last_frame
     return VOState(
-        m=fh.map, pyr=lf.pyr, R=lf.R, t=lf.t, frame_id=lf.frame_id,
+        m=fh.map, pad=lf.pad, R=lf.R, t=lf.t, frame_id=lf.frame_id,
         feat_px=lf.feat_px, feat_f=lf.feat_f, feat_level=lf.feat_level,
         feat_point=lf.feat_point, feat_valid=lf.feat_valid,
         stage=jnp.int32(STAGE_DEFAULT),
         num_obs_last=jnp.int32(fh.num_obs_last))
-
-
-def _kf_pyramid(m: MapState, slot: jnp.ndarray, shapes):
-    """Reshape a keyframe's flat pyramid buffer into level images."""
-    flat = m.kf.flat_pyr[slot]
-    out = []
-    off = 0
-    for h, w in shapes:
-        out.append(jax.lax.dynamic_slice(flat, (off,),
-                                         (h * w,)).reshape(h, w))
-        off += h * w
-    return tuple(out)
 
 
 def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
@@ -103,11 +93,12 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     n_levels = cfg.n_levels_total
     shapes = pyramid_shapes(img_shape, n_levels)
     pyr = build_pyramid(img, n_levels)
-    flat = FlatPyramid(pyr)
-    # Pallas aligned-tile source (cur frame); SVO_NO_PAD=1 falls back to
-    # the XLA gather paths (debug/bisect switch, trace-time)
-    import os as _os
-    pad = None if _os.environ.get("SVO_NO_PAD") else PaddedPyramid(pyr)
+    # lay the pyramid out ONCE per frame: the padded stack feeds the
+    # Pallas tile kernels directly, backs the strided flat sampler, is
+    # what gets stored into the keyframe pool, and is carried in VOState
+    # as next frame's alignment reference — no relayouts downstream.
+    pad = PaddedPyramid(pyr)
+    flat = pad.flat_view()
     # cfg.ablate: stages stubbed out at trace time, for device-time
     # attribution by differencing (tools_stage_timing.py). () in production.
     abl = frozenset(cfg.ablate)
@@ -121,21 +112,27 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     kf_slot = jnp.maximum(kf_slot, 0)
 
     def ref_from_kf(_):
-        kpyr = _kf_pyramid(m, kf_slot, shapes)
-        return (kpyr, m.kf.R[kf_slot], m.kf.t[kf_slot],
+        return (m.kf.R[kf_slot], m.kf.t[kf_slot],
                 m.kf.feat_px[kf_slot], m.kf.feat_f[kf_slot],
                 m.kf.feat_point[kf_slot],
                 m.kf.feat_valid[kf_slot] & (m.kf.feat_point[kf_slot] >= 0))
 
     def ref_from_last(_):
-        return (state.pyr, state.R, state.t, state.feat_px, state.feat_f,
+        return (state.R, state.t, state.feat_px, state.feat_f,
                 state.feat_point,
                 state.feat_valid & (state.feat_point >= 0))
 
-    (ref_pyr, ref_R, ref_t, ref_px, ref_f, ref_pid, ref_ok) = jax.lax.cond(
+    (ref_R, ref_t, ref_px, ref_f, ref_pid, ref_ok) = jax.lax.cond(
         reloc, ref_from_kf, ref_from_last, None)
-    ref_pad = None if _os.environ.get("SVO_NO_PAD") \
-        else PaddedPyramid(ref_pyr)
+    # the reference pyramid: last frame's carried stack, or (relocalizing
+    # only) the closest keyframe's stored stack.  Both are already in the
+    # padded layout; the cond's one output buffer is a single stack.
+    ref_stack = jax.lax.cond(
+        reloc,
+        lambda _: m.kf.flat_pyr[kf_slot].reshape(pad.Hs, pad.Ws),
+        lambda _: state.pad.stack, None)
+    ref_pad = PaddedPyramid.from_stack(ref_stack, shapes)
+    ref_pyr = ref_pad.levels()
     T_ref = SE3(ref_R, ref_t)
     pid_safe = jnp.clip(ref_pid, 0, P - 1)
     depth = jnp.linalg.norm(T_ref.apply(m.pt.pos[pid_safe]), axis=-1)
@@ -266,11 +263,11 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     # keyframe frames (cond outputs are small: C tiles)
     ftile, fxy0 = jax.lax.cond(
         is_kf,
-        lambda _: extract_tiles(pad if pad is not None else flat,
+        lambda _: extract_tiles(pad,
                                 rep.feat_px, rep.feat_level),
         lambda _: empty_tiles(C), None)
     m2, slot = svomap.add_keyframe(
-        m, flat.flat, T_out, frame_like.frame_id,
+        m, pad.stack.reshape(-1), T_out, frame_like.frame_id,
         rep.feat_px, feat_f, rep.feat_level, frame_like.feat_point,
         feat_valid, kf_depth,
         feat_type=rep.feat_type, feat_grad=rep.feat_grad, enable=is_kf,
@@ -308,7 +305,7 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
 
     def do_detect(_):
         det = detect_features(pyr, occupied, cfg.grid_size)
-        tile, txy0 = extract_tiles(pad if pad is not None else flat,
+        tile, txy0 = extract_tiles(pad,
                                    det["px"], det["level"])
         return (det["px"], det["score"], det["level"], det["valid"],
                 tile, txy0)
@@ -342,7 +339,7 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     num_obs = jnp.where(failed, state.num_obs_last, pres.n_obs)
 
     new_state = VOState(
-        m=m, pyr=pyr, R=T_out.R, t=T_out.t,
+        m=m, pad=pad, R=T_out.R, t=T_out.t,
         frame_id=frame_like.frame_id,
         feat_px=rep.feat_px, feat_f=feat_f, feat_level=rep.feat_level,
         feat_point=frame_like.feat_point, feat_valid=feat_valid,

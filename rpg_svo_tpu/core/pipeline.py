@@ -123,7 +123,10 @@ class FrameHandler:
         self.img_shape = img_shape
         self.n_levels = cfg.n_levels_total
         shapes = pyramid_shapes(img_shape, self.n_levels)
-        self.flat_len = sum(h * w for h, w in shapes)
+        from rpg_svo_tpu.ops.pallas_tiles import padded_layout
+        Ws, Hs, _ = padded_layout(shapes)
+        # keyframe pyramids are stored in the padded-stack layout
+        self.flat_len = Hs * Ws
         self.ncx, self.ncy = grid_dims(img_shape[1], img_shape[0],
                                        cfg.grid_size)
         self.n_cells = self.ncx * self.ncy
@@ -178,7 +181,7 @@ class FrameHandler:
         # keyframe slot first (points need its slot id)
         tile, txy0 = extract_tiles(frame.flat, px, det["level"])
         m, slot = svomap.add_keyframe(
-            self.map, frame.flat.flat, T_f_w, frame.frame_id,
+            self.map, frame.pad.stack.reshape(-1), T_f_w, frame.frame_id,
             px, f, det["level"], jnp.full((self.n_cells,), -1, jnp.int32),
             good, d, feat_tile=tile, feat_tile_xy0=txy0)
         pt, ids = svomap.alloc_points(
@@ -262,7 +265,7 @@ class FrameHandler:
         # keyframe 0 (world origin) with the inlier features
         tile0, txy0_0 = extract_tiles(f0.flat, tv.px_ref, lvl0)
         m, slot0 = svomap.add_keyframe(
-            self.map, f0.flat.flat, SE3.identity(), f0.frame_id,
+            self.map, f0.pad.stack.reshape(-1), SE3.identity(), f0.frame_id,
             tv.px_ref, tv.f_ref, lvl0,
             jnp.full((C,), -1, jnp.int32), tv.inlier,
             jnp.linalg.norm(tv.p_w, axis=-1),
@@ -284,7 +287,7 @@ class FrameHandler:
         depth1 = jnp.linalg.norm(p_cur, axis=-1)
         tile1, txy0_1 = extract_tiles(frame.flat, tv.px_cur, lvl0)
         m, slot1 = svomap.add_keyframe(
-            self.map, frame.flat.flat, tv.T_cur_ref, frame.frame_id,
+            self.map, frame.pad.stack.reshape(-1), tv.T_cur_ref, frame.frame_id,
             tv.px_cur, tv.f_cur, lvl0, jnp.where(tv.inlier, ids, -1),
             tv.inlier, depth1, feat_tile=tile1, feat_tile_xy0=txy0_1)
         pt = svomap.add_point_observations(
@@ -338,13 +341,13 @@ class FrameHandler:
         depth = jnp.linalg.norm(p_last, axis=-1)
         fvalid = last.feat_valid & (last.feat_point >= 0) \
             & (self.map.pt.ptype[pid] != svomap.TYPE_DELETED)
-        pad = PaddedPyramid(frame.pyr)
+        pad = frame.pad
         align = sparse_img_align(
             last.pyr, frame.pyr, self.cam, SE3.identity(),
             last.feat_px, last.feat_f, depth, fvalid,
             max_level=cfg.klt_max_level, min_level=cfg.klt_min_level,
             n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps,
-            cur_pad=pad, ref_pad=PaddedPyramid(last.pyr))
+            cur_pad=pad, ref_pad=last.pad)
         T_cur = align.T_cur_ref * last.T_f_w
         frame = frame.with_pose(T_cur)
         info["img_align_n_tracked"] = int(align.n_tracked)
@@ -420,7 +423,7 @@ class FrameHandler:
                     conv_thresh=cfg.seed_convergence_sigma2_thresh,
                     max_steps=cfg.epi_max_steps,
                     update_k=cfg.df_update_k,
-                    cur_pad=PaddedPyramid(frame.pyr))
+                    cur_pad=frame.pad)
                 info["n_seeds"] = int(stats.n_seeds)
             return RESULT_NO_KEYFRAME, frame, info
 
@@ -429,7 +432,7 @@ class FrameHandler:
         ktile, ktxy0 = extract_tiles(frame.flat, frame.feat_px,
                                      frame.feat_level)
         m, slot = svomap.add_keyframe(
-            self.map, frame.flat.flat, frame.T_f_w, frame.frame_id,
+            self.map, frame.pad.stack.reshape(-1), frame.T_f_w, frame.frame_id,
             frame.feat_px, frame.feat_f, frame.feat_level,
             frame.feat_point, frame.feat_valid,
             jnp.linalg.norm(frame.T_f_w.apply(
@@ -468,7 +471,7 @@ class FrameHandler:
             conv_thresh=cfg.seed_convergence_sigma2_thresh,
             max_steps=cfg.epi_max_steps,
             update_k=cfg.df_update_k,
-            cur_pad=PaddedPyramid(frame.pyr))
+            cur_pad=frame.pad)
         occupied = jnp.zeros((self.n_cells,), bool).at[
             cell_index(frame.feat_px, cfg.grid_size, self.ncx,
                        self.ncy)].max(frame.feat_valid)
@@ -504,12 +507,8 @@ class FrameHandler:
         fvalid = kf.feat_valid[ref_slot] & (kf.feat_point[ref_slot] >= 0)
         # rebuild the KF pyramid from its flat buffer
         shapes = pyramid_shapes(self.img_shape, self.n_levels)
-        flat = kf.flat_pyr[ref_slot]
-        pyr = []
-        off = 0
-        for h, w in shapes:
-            pyr.append(flat[off:off + h * w].reshape(h, w))
-            off += h * w
+        kf_pad = PaddedPyramid.from_stack(kf.flat_pyr[ref_slot], shapes)
+        pyr = kf_pad.levels()
         align = sparse_img_align(
             tuple(pyr), frame.pyr, self.cam, SE3.identity(),
             kf.feat_px[ref_slot], kf.feat_f[ref_slot], depth, fvalid,
@@ -519,7 +518,7 @@ class FrameHandler:
             T_last_saved = self.last_frame.T_f_w
             # continue the normal pipeline with the KF as "last frame"
             kf_frame = FrameState(
-                pyr=tuple(pyr), flat=frame.flat,  # flat unused for last
+                pyr=tuple(pyr), pad=kf_pad, flat=kf_pad.flat_view(),
                 R=kf.R[ref_slot], t=kf.t[ref_slot],
                 frame_id=kf.frame_id[ref_slot],
                 timestamp=frame.timestamp,
@@ -611,7 +610,9 @@ class FrameHandler:
         from rpg_svo_tpu.ops.pyramid import pyramid_shapes
         shapes = pyramid_shapes(self.img_shape, self.n_levels)
         h, w = shapes[0]
-        img = np.asarray(kf.flat_pyr[kf_slot][: h * w]).reshape(h, w)
+        from rpg_svo_tpu.ops.pallas_tiles import padded_layout
+        Ws, Hs, _ = padded_layout(shapes)
+        img = np.asarray(kf.flat_pyr[kf_slot]).reshape(Hs, Ws)[:h, :w]
         pid = np.asarray(kf.feat_point[kf_slot])
         ok = np.asarray(kf.feat_valid[kf_slot]) & (pid >= 0)
         T = SE3(kf.R[kf_slot], kf.t[kf_slot])

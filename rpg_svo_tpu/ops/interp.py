@@ -85,16 +85,38 @@ class FlatPyramid:
                                    dtype=jnp.int32)
         self._heights = jnp.asarray([h for h, _ in self.shapes],
                                     dtype=jnp.int32)
+        # row stride per level == level width for the packed layout
+        self._strides = self._widths
         self.flat = jnp.concatenate([l.reshape(-1) for l in levels])
 
+    @classmethod
+    def from_padded(cls, pad) -> "FlatPyramid":
+        """Zero-copy flat view of a PaddedPyramid stack: level l starts at
+        row_off[l] * Ws with row stride Ws; valid extent is the TRUE level
+        (h, w).  Lets every per-item-level sampler read straight from the
+        padded stack — no separate packed buffer is ever built."""
+        obj = cls.__new__(cls)
+        obj.n_levels = len(pad.shapes)
+        obj.shapes = tuple(pad.shapes)
+        obj._offsets = jnp.asarray(
+            [int(o) * pad.Ws for o in pad.row_off], dtype=jnp.int32)
+        obj._widths = jnp.asarray([w for _, w in pad.shapes],
+                                  dtype=jnp.int32)
+        obj._heights = jnp.asarray([h for h, _ in pad.shapes],
+                                   dtype=jnp.int32)
+        obj._strides = jnp.full((obj.n_levels,), pad.Ws, jnp.int32)
+        obj.flat = pad.stack.reshape(-1)
+        return obj
+
     def tree_flatten(self):
-        return ((self.flat, self._offsets, self._widths, self._heights),
-                (self.n_levels, self.shapes))
+        return ((self.flat, self._offsets, self._widths, self._heights,
+                 self._strides), (self.n_levels, self.shapes))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
-        obj.flat, obj._offsets, obj._widths, obj._heights = children
+        (obj.flat, obj._offsets, obj._widths, obj._heights,
+         obj._strides) = children
         obj.n_levels, obj.shapes = aux
         return obj
 
@@ -105,6 +127,7 @@ class FlatPyramid:
         level = jnp.clip(level, 0, self.n_levels - 1)
         W = self._widths[level]
         H = self._heights[level]
+        S = self._strides[level]
         base = self._offsets[level]
         x, y = xy[..., 0], xy[..., 1]
         x0 = jnp.floor(x)
@@ -114,11 +137,11 @@ class FlatPyramid:
         valid = (x0 >= 0) & (y0 >= 0) & (x0 < (W - 1)) & (y0 < (H - 1))
         xi = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
         yi = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-        idx = base + yi * W + xi
+        idx = base + yi * S + xi
         i00 = self.flat[idx]
         i01 = self.flat[idx + 1]
-        i10 = self.flat[idx + W]
-        i11 = self.flat[idx + W + 1]
+        i10 = self.flat[idx + S]
+        i11 = self.flat[idx + S + 1]
         top = i00 * (1.0 - wx) + i01 * wx
         bot = i10 * (1.0 - wx) + i11 * wx
         return jnp.where(valid, top * (1.0 - wy) + bot * wy, fill), valid
@@ -133,11 +156,12 @@ class FlatPyramid:
         level = jnp.clip(level, 0, self.n_levels - 1)
         W = self._widths[level]
         H = self._heights[level]
+        S = self._strides[level]
         base = self._offsets[level]
         xi = jnp.round(xy[..., 0]).astype(jnp.int32)
         yi = jnp.round(xy[..., 1]).astype(jnp.int32)
         valid = (xi >= 0) & (yi >= 0) & (xi < W) & (yi < H)
-        idx = base + jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        idx = base + jnp.clip(yi, 0, H - 1) * S + jnp.clip(xi, 0, W - 1)
         return jnp.where(valid, self.flat[idx], fill), valid
 
 

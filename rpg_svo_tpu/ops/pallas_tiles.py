@@ -42,31 +42,69 @@ def use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def padded_layout(shapes: Sequence[Tuple[int, int]]):
+    """Static layout of the padded stack for given level shapes:
+    (Ws, Hs, row_off) with H padded to 8 rows, W to 128 lanes (min 256),
+    plus 40 rows of tail slack for the aligned loads of the last level."""
+    Ws = max(256, -(-max(w for _, w in shapes) // 128) * 128)
+    offs = []
+    row = 0
+    for h, _ in shapes:
+        offs.append(row)
+        row += -(-h // 8) * 8
+    return Ws, row + 40, np.asarray(offs, dtype=np.int32)
+
+
 class PaddedPyramid:
     """Pyramid levels padded and vertically stacked into one 2-D array.
 
     stack: (Hs, Ws) f32; level l occupies rows row_off[l] .. +Hp[l], with
     the real (H, W) content at the top-left and zero padding elsewhere.
+
+    This is THE storage layout of the framework: frames carry it in state,
+    the keyframe pool stores one flattened stack per slot, the Pallas tile
+    kernels load from it, and `flat_view()` exposes it to the per-item-
+    level samplers — so a pyramid is laid out once per frame and never
+    relaid.
     """
 
     def __init__(self, levels: Sequence[jnp.ndarray]):
         shapes = [(int(l.shape[0]), int(l.shape[1])) for l in levels]
         self.shapes = tuple(shapes)
-        Ws = max(256, -(-max(w for _, w in shapes) // 128) * 128)
-        offs = []
-        row = 0
+        Ws, Hs, offs = padded_layout(shapes)
         padded = []
-        for (h, w), img in zip(shapes, levels):
-            hp = -(-h // 8) * 8
-            offs.append(row)
+        for (h, w), img, hp in zip(
+                shapes, levels,
+                [-(-h // 8) * 8 for h, _ in shapes]):
             padded.append(jnp.pad(img, ((0, hp - h), (0, Ws - w))))
-            row += hp
         # tail slack so the last level's aligned loads stay in bounds
         padded.append(jnp.zeros((40, Ws), jnp.float32))
         self.stack = jnp.concatenate(padded, axis=0)
         self.Ws = Ws
-        self.Hs = int(self.stack.shape[0])
-        self.row_off = np.asarray(offs, dtype=np.int32)
+        self.Hs = Hs
+        self.row_off = offs
+
+    @classmethod
+    def from_stack(cls, stack: jnp.ndarray,
+                   shapes: Sequence[Tuple[int, int]]) -> "PaddedPyramid":
+        """Wrap an existing padded stack (no data movement)."""
+        obj = cls.__new__(cls)
+        obj.shapes = tuple((int(h), int(w)) for h, w in shapes)
+        obj.Ws, obj.Hs, obj.row_off = padded_layout(obj.shapes)
+        obj.stack = stack.reshape(obj.Hs, obj.Ws)
+        return obj
+
+    def flat_view(self):
+        """Strided FlatPyramid over this stack (zero-copy)."""
+        from rpg_svo_tpu.ops.interp import FlatPyramid
+        return FlatPyramid.from_padded(self)
+
+    def levels(self) -> Tuple[jnp.ndarray, ...]:
+        """Per-level images as static slices of the stack (views; XLA
+        dead-code-eliminates any level nothing consumes)."""
+        return tuple(
+            self.stack[int(o): int(o) + h, :w]
+            for o, (h, w) in zip(self.row_off, self.shapes))
 
     def tree_flatten(self):
         return ((self.stack,), (self.shapes, self.Ws, self.Hs,
