@@ -84,3 +84,42 @@ def test_epipolar_scan_interpret_matches_xla(pyr):
     assert np.allclose(np.asarray(s_xla)[fin], np.asarray(s_int)[fin],
                        rtol=1e-4, atol=1e-2)
     assert np.array_equal(np.asarray(c_xla)[fin], np.asarray(c_int)[fin])
+
+
+def test_flat_view_matches_packed_sampling(pyr):
+    """The strided flat view of a padded stack samples identically to the
+    packed FlatPyramid (bilinear + nearest, validity included)."""
+    from rpg_svo_tpu.ops.interp import FlatPyramid
+    pp = PaddedPyramid(pyr)
+    fv = pp.flat_view()
+    fp = FlatPyramid(pyr)
+    key = jax.random.PRNGKey(3)
+    n = 257
+    lv = jax.random.randint(key, (n,), 0, len(pyr))
+    # include out-of-range coords to exercise the validity masks
+    xy = jax.random.uniform(jax.random.PRNGKey(4), (n, 2)) \
+        * jnp.array([900.0, 600.0]) - 50.0
+    vb1, ok1 = fp.bilinear(lv, xy)
+    vb2, ok2 = fv.bilinear(lv, xy)
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+    np.testing.assert_allclose(np.asarray(vb1), np.asarray(vb2), atol=1e-5)
+    vn1, okn1 = fp.nearest(lv, xy)
+    vn2, okn2 = fv.nearest(lv, xy)
+    np.testing.assert_array_equal(np.asarray(okn1), np.asarray(okn2))
+    np.testing.assert_array_equal(np.asarray(vn1), np.asarray(vn2))
+
+
+def test_from_stack_roundtrip(pyr):
+    """from_stack(stack, shapes) reproduces the original levels and tile
+    gathers bit-exactly."""
+    pp = PaddedPyramid(pyr)
+    pp2 = PaddedPyramid.from_stack(pp.stack.reshape(-1), pp.shapes)
+    assert pp2.Ws == pp.Ws and pp2.Hs == pp.Hs
+    for a, b in zip(pp2.levels(), pyr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    lv = jnp.array([0, 1, 2, 3, 4], jnp.int32)
+    x0 = jnp.array([10, 5, 3, 2, 1], jnp.int32)
+    y0 = jnp.array([20, 9, 4, 2, 1], jnp.int32)
+    t1, _, _ = gather_tiles(pp, lv, x0, y0, 17, 17, interpret=True)
+    t2, _, _ = gather_tiles(pp2, lv, x0, y0, 17, 17, interpret=True)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
