@@ -79,15 +79,18 @@ def run(name, overrides):
     n_chunks = (T - CHUNK) // CHUNK
     t0 = time.perf_counter()
     n = 0
-    n_kf = n_fail = 0
+    kfs = []
     for c in range(n_chunks):
         lo = CHUNK + c * CHUNK
         state, outs = scan(state, imgs[lo:lo + CHUNK])
         n += CHUNK
+        kfs.append((outs.is_keyframe, outs.failed))
+        # sync on device data only — reading SCALARS back here would put
+        # a host round-trip (~tens of ms over the tunnel) in the loop
         outs.t_wc.block_until_ready()
-        n_kf += int(jnp.sum(outs.is_keyframe))
-        n_fail += int(jnp.sum(outs.failed))
     dt = (time.perf_counter() - t0) / n
+    n_kf = int(sum(jnp.sum(k) for k, _ in kfs))
+    n_fail = int(sum(jnp.sum(f) for _, f in kfs))
     print(f"{name:14s} {dt*1e3:7.2f} ms/frame   "
           f"(kf={n_kf} fail={n_fail})", flush=True)
     return dt
