@@ -34,6 +34,9 @@ class Config:
     klt_min_level: int = 2          # finest pyramid level for image alignment
     img_align_n_iter: int = 30      # GN iterations per level
     img_align_eps: float = 1e-7     # convergence threshold on |dx|
+    # GN loop structure on TPU: `unroll` masked iterations per while_loop
+    # step; >= n_iter drops the while entirely (straight-line, masked)
+    img_align_unroll: int = 3
 
     # --- two-view initialization ---
     init_min_disparity: float = 50.0

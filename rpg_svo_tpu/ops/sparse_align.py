@@ -161,7 +161,8 @@ def _precompute_level(ref_img, cam_fx, feats_px, feats_f, feats_depth,
 
 
 def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
-              level: int, n_iter: int, eps: float, cur_pad=None):
+              level: int, n_iter: int, eps: float, cur_pad=None,
+              unroll: int = 3):
     """GN iterations at one level; carries best (lowest-chi2) pose."""
     scale = 1.0 / (2.0 ** level)
     uv0 = cam.world2cam(T_init.apply(p_ref)) * scale
@@ -215,24 +216,30 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
                 jnp.where(done, H_last, H),
                 done | converged | stopped)
 
-    # chunked loop: UNROLL masked iterations per while_loop step — the
+    # chunked loop: `unroll` masked iterations per while_loop step — the
     # sequential lax loop pays per-iteration dispatch on this backend, so
-    # amortize it over UNROLL fused iterations; eps early-exit still
-    # bounds the total at ~n_iter.
-    UNROLL = 3
-
-    def cond(carry):
-        i, _, _, _, _, done = carry
-        return (i < n_iter) & (~done)
-
-    def body(carry):
-        for _ in range(UNROLL):
-            carry = one_iter(carry)
-        return carry
-
+    # amortize it over `unroll` fused iterations; eps early-exit still
+    # bounds the total at ~n_iter.  unroll >= n_iter drops the while_loop
+    # entirely (straight-line masked iterations, zero loop overhead).
     init = (jnp.int32(0), T_init, T_init, jnp.float32(jnp.inf),
             H0, jnp.bool_(False))
-    _, T, best_T, best_chi2, H, _ = jax.lax.while_loop(cond, body, init)
+    if unroll >= n_iter:
+        carry = init
+        for _ in range(n_iter):
+            carry = one_iter(carry)
+        _, T, best_T, best_chi2, H, _ = carry
+    else:
+        def cond(carry):
+            i, _, _, _, _, done = carry
+            return (i < n_iter) & (~done)
+
+        def body(carry):
+            for _ in range(unroll):
+                carry = one_iter(carry)
+            return carry
+
+        _, T, best_T, best_chi2, H, _ = jax.lax.while_loop(
+            cond, body, init)
     # final evaluation to pick best
     res, m = residuals(T)
     _, _, chi2 = normal_eqs(res, m)
@@ -244,7 +251,7 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
 
 
 @functools.partial(jax.jit, static_argnames=("max_level", "min_level",
-                                             "n_iter", "eps"))
+                                             "n_iter", "eps", "unroll"))
 def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
                      cur_pyr: Tuple[jnp.ndarray, ...],
                      cam,
@@ -257,7 +264,8 @@ def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
                      min_level: int = 2,
                      n_iter: int = 30,
                      eps: float = 1e-7,
-                     cur_pad=None, ref_pad=None) -> AlignResult:
+                     cur_pad=None, ref_pad=None,
+                     unroll: int = 3) -> AlignResult:
     """Coarse-to-fine sparse image alignment. Returns refined T_cur_ref."""
     T = T_cur_ref_init
     p_ref = feats_f * feats_depth[:, None]
@@ -270,6 +278,6 @@ def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
             feats_valid, level, ref_pad=ref_pad)
         T, n_meas, H, chi2 = _level_gn(
             cur_pyr[level], cam, T, p_ref, ref_patch, jac, valid,
-            level, n_iter, eps, cur_pad=cur_pad)
+            level, n_iter, eps, cur_pad=cur_pad, unroll=unroll)
     n_tracked = (n_meas // PATCH_AREA).astype(jnp.int32)
     return AlignResult(T, n_tracked, H, chi2)

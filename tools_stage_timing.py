@@ -45,6 +45,9 @@ VARIANTS = {
     "struct_0": {"structureoptim_max_pts": 1,
                  "structureoptim_num_iter": 1},
     "grid40": {"grid_size": 40},
+    "align_unroll6": {"img_align_unroll": 6},
+    "align_unroll_full": {"img_align_unroll": 30},
+    "align_i12_full": {"img_align_n_iter": 12, "img_align_unroll": 12},
     # code-level stage stubs (cfg.ablate; exact stage removal)
     "no_align": {"ablate": ("align",)},
     "no_reproject": {"ablate": ("reproject",)},
