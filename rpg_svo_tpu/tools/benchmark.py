@@ -46,7 +46,7 @@ def _feature_depth_errors(fh, depth_map):
     return errs.tolist()
 
 
-def run(args):
+def run(args, cfg=None, cam_override=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -61,8 +61,10 @@ def run(args):
     from rpg_svo_tpu.geometry.se3 import quat_to_rot
 
     os.makedirs(args.out, exist_ok=True)
-    cfg = accurate_preset() if args.preset == "accurate" else fast_preset()
-    cfg = cfg.replace(grid_size=args.grid_size)
+    if cfg is None:
+        cfg = accurate_preset() if args.preset == "accurate" \
+            else fast_preset()
+        cfg = cfg.replace(grid_size=args.grid_size)
     if getattr(args, "min_fts", 0):
         # quality gate override for small images (the reference mutates
         # Config accessors the same way in its tests, e.g.
@@ -146,6 +148,9 @@ def run(args):
                     (jnp.asarray(d0) if d0 is not None else None), T
     else:
         raise SystemExit(f"unknown dataset {args.dataset}")
+
+    if cam_override is not None:
+        cam = cam_override
 
     if args.noise_sigma > 0:
         # benchmark-level image noise injection
@@ -248,8 +253,64 @@ def run(args):
     return report
 
 
+def run_experiment(args):
+    """Reference experiment protocol: one YAML names the algorithm
+    preset and dataset(s); each dataset dir carries its own
+    dataset_params.yaml (svo_analysis/scripts/benchmark.py:18-106)."""
+    import copy
+    from rpg_svo_tpu.io.experiment import (
+        load_experiment, load_algo_config, apply_param_overrides,
+        load_dataset_params, camera_from_params)
+    exp = load_experiment(args.experiment)
+    root = args.dataset_dir or os.environ.get("SVO_DATASET_DIR") \
+        or os.path.dirname(os.path.abspath(args.experiment))
+    base_cfg = load_algo_config(
+        exp.param_settings,
+        search_dirs=[root, os.path.dirname(os.path.abspath(args.experiment))])
+    base_cfg = apply_param_overrides(base_cfg, exp.extra)
+    reports = {}
+    for name in (exp.datasets or ["synthetic"]):
+        sub = copy.copy(args)
+        sub.out = os.path.join(args.out, f"{exp.label}_{name}".replace(
+            " ", "_"))
+        cam = None
+        cfg = base_cfg
+        if name == "synthetic":
+            sub.dataset = "synthetic"
+        else:
+            ddir = os.path.join(root, name)
+            if not os.path.isdir(ddir):
+                raise SystemExit(f"dataset directory not found: {ddir}")
+            dp = load_dataset_params(ddir)
+            cfg = apply_param_overrides(cfg, dp)
+            if "cam0" in dp or "cam_model" in dp:
+                cam = camera_from_params(dp)
+            if dp.get("dataset_noise_sigma"):
+                sub.noise_sigma = float(dp["dataset_noise_sigma"])
+            sub.path = ddir
+            if dp.get("dataset_is_blender"):
+                sub.dataset = "blender"
+            elif os.path.exists(os.path.join(ddir, "rgb.txt")):
+                sub.dataset = "tum"
+            elif os.path.isdir(os.path.join(ddir, "mav0")):
+                sub.dataset = "euroc"
+            else:
+                sub.dataset = "blender"
+        reports[name] = run(sub, cfg=cfg, cam_override=cam)
+    out = os.path.join(args.out, "experiment_report.json")
+    with open(out, "w") as f:
+        json.dump({"label": exp.label, "datasets": reports}, f, indent=2)
+    print(f"# experiment report: {out}")
+    return reports
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--experiment", default=None,
+                    help="experiment YAML (svo_analysis/experiments "
+                         "format); overrides --dataset/--preset")
+    ap.add_argument("--dataset-dir", default=None,
+                    help="root of dataset directories ($SVO_DATASET_DIR)")
     ap.add_argument("--dataset", default="synthetic",
                     choices=["synthetic", "tum", "euroc", "blender"])
     ap.add_argument("--path", default=None, help="dataset directory")
@@ -275,7 +336,11 @@ def main():
     ap.add_argument("--ply", action="store_true",
                     help="export final map points as PLY")
     ap.add_argument("--verbose", action="store_true")
-    run(ap.parse_args())
+    args = ap.parse_args()
+    if args.experiment:
+        run_experiment(args)
+    else:
+        run(args)
 
 
 if __name__ == "__main__":

@@ -127,3 +127,48 @@ def test_blender_benchmark_end_to_end(tmp_path):
     assert terr.shape[1] == 5   # ts, |err|, dx, dy, dz
     if "depth_error" in report:
         assert report["depth_error"]["n"] > 0
+
+
+def test_experiment_yaml_driver(tmp_path):
+    """Experiment YAML composition (svo_analysis/scripts/benchmark.py
+    parity): experiment -> algo params -> dataset_params, incl. camera
+    intrinsics from cam0 and config overrides from the algo YAML."""
+    import argparse
+    from rpg_svo_tpu.tools.benchmark import run_experiment
+    from rpg_svo_tpu.io.experiment import (load_experiment,
+                                           load_algo_config)
+
+    root, ds = _make_blender_dir(tmp_path, n=8, shape=(480, 752),
+                                 revolutions=0.1)
+    cam = ds.cam
+    (tmp_path / "blender_ds" / "dataset_params.yaml").write_text(
+        "dataset_is_blender: True\n"
+        "cam0:\n"
+        "  cam_model: Pinhole\n"
+        "  cam_width: 752\n  cam_height: 480\n"
+        f"  cam_fx: {float(cam.fx)}\n  cam_fy: {float(cam.fy)}\n"
+        f"  cam_cx: {float(cam.cx)}\n  cam_cy: {float(cam.cy)}\n")
+    (tmp_path / "vo_custom.yaml").write_text(
+        "grid_size: 30\nmax_n_kfs: 10\nloba_num_iter: 0\n")
+    exp_file = tmp_path / "exp.yaml"
+    exp_file.write_text(
+        "experiment_label: 'svo test'\n"
+        "param_settings: vo_custom\n"
+        "dataset: blender_ds\n")
+
+    exp = load_experiment(str(exp_file))
+    assert exp.label == "svo test" and exp.datasets == ["blender_ds"]
+    cfg = load_algo_config("vo_custom", search_dirs=[str(tmp_path)])
+    assert cfg.grid_size == 30 and cfg.max_n_kfs == 10
+
+    args = argparse.Namespace(
+        experiment=str(exp_file), dataset_dir=str(tmp_path),
+        dataset="synthetic", path=None, out=str(tmp_path / "out"),
+        frames=8, preset="fast", grid_size=25, cam=None,
+        seed_first_frame=True, verbose=False, noise_sigma=0.0,
+        noise_seed=0, trace_depth=False, ply=False, min_fts=0)
+    reports = run_experiment(args)
+    assert "blender_ds" in reports
+    assert reports["blender_ds"]["ate"]["rmse"] < 0.05
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "out"), "experiment_report.json"))
