@@ -40,7 +40,7 @@ from rpg_svo_tpu.ops.matcher import (
 from rpg_svo_tpu.ops.patches import extract_tiles, empty_tiles
 from rpg_svo_tpu.core.map import (
     MapState, SeedStore, TYPE_CANDIDATE, free_slots, alloc_scatter,
-    alloc_points,
+    alloc_points, mask_compact,
 )
 
 INIT_A = 10.0
@@ -213,14 +213,15 @@ def apply_seed_update(m: MapState, upd: SeedFieldUpdate) -> MapState:
     converged beyond the cap stay alive and convert on a later frame.
     """
     seed = m.seed
-    order = jnp.argsort(~upd.converged, stable=True)[:ALLOC_K]
-    conv_c = upd.converged[order]
+    order, conv_c = mask_compact(upd.converged, ALLOC_K)
     pt, _ = alloc_points(
         m.pt, upd.p_w[order], TYPE_CANDIDATE, seed.kf_slot[order],
         seed.px[order], seed.f[order], seed.level[order], conv_c,
         orig_type=seed.ftype[order], orig_grad=seed.grad[order],
         orig_tile=seed.tile[order], orig_tile_xy0=seed.tile_xy0[order])
-    allocated = jnp.zeros_like(upd.converged).at[order].set(conv_c)
+    S = upd.converged.shape[0]
+    tgt = jnp.where(conv_c, order, S)   # invalid rows -> dropped slot
+    allocated = jnp.zeros((S + 1,), bool).at[tgt].set(conv_c)[:S]
     active = upd.active | (upd.converged & ~allocated)
     seed = seed._replace(active=active, mu=upd.mu,
                          sigma2=upd.sigma2, a=upd.a, b=upd.b)
@@ -338,19 +339,24 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
         return jax.lax.cond(enable, yes, no, None)
 
     if update_k and update_k < S:
-        # compact: eligible seeds first (stable, preserves pool order)
-        sel = jnp.argsort(~eligible, stable=True)[:update_k]
+        # compact: eligible seeds first (order-preserving O(S) cumsum
+        # compaction — an argsort here pays a full sort network)
+        sel, elig_c = mask_compact(eligible, update_k)
         gather = lambda a: a[sel]
-        elig_c = eligible[sel]
         _, depth_c, succ_c = _gated_match(
             seed.px[sel], seed.f[sel], seed.level[sel], seed.tile[sel],
             seed.tile_xy0[sel], seed.ftype[sel], seed.grad[sel],
             jax.tree.map(gather, T_cur_ref), gather(1.0 / mu_safe),
             gather(d_min), gather(d_max), elig_c)
-        # scatter back; seeds beyond the cap read as "not searched"
-        searched = jnp.zeros((S,), bool).at[sel].set(elig_c)
-        success = jnp.zeros((S,), bool).at[sel].set(succ_c & elig_c)
-        depth_ref = jnp.ones((S,), jnp.float32).at[sel].set(depth_c)
+        # scatter back via a dropped overflow slot (invalid rows point at
+        # slot 0 after compaction; never let them clobber it); seeds
+        # beyond the cap read as "not searched"
+        tgt = jnp.where(elig_c, sel, S)
+        searched = jnp.zeros((S + 1,), bool).at[tgt].set(elig_c)[:S]
+        success = jnp.zeros((S + 1,), bool).at[tgt].set(
+            succ_c & elig_c)[:S]
+        depth_ref = jnp.ones((S + 1,), jnp.float32).at[tgt].set(
+            depth_c)[:S]
         matched = success
         failed_search = searched & ~success
     else:

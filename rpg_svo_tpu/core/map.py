@@ -186,6 +186,26 @@ def free_slots(active: jnp.ndarray, n: int) -> jnp.ndarray:
     return idx.astype(jnp.int32)
 
 
+def mask_compact(mask: jnp.ndarray, k: int):
+    """First k set indices of a bool mask, order-preserving.
+
+    O(N) cumsum + scatter — replaces `argsort(~mask, stable=True)[:k]`,
+    which pays a full O(N log^2 N) sort network on TPU.
+
+    Returns (idx (k,) int32, valid (k,) bool): idx[j] is the j-th set
+    index for j < popcount (clamped to k); invalid slots hold 0 (safe for
+    gathers; mask results with `valid`).
+    """
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask & (pos < k), pos, k)
+    out = jnp.zeros((k + 1,), jnp.int32).at[tgt].max(
+        jnp.arange(n, dtype=jnp.int32))
+    idx = out[:k]
+    valid = jnp.arange(k, dtype=jnp.int32) < jnp.maximum(pos[-1] + 1, 0)
+    return jnp.where(valid, idx, 0), valid
+
+
 def alloc_scatter(arr: jnp.ndarray, slots: jnp.ndarray,
                   values: jnp.ndarray) -> jnp.ndarray:
     """Scatter values into arr at slots, skipping slots == -1."""

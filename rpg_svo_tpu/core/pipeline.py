@@ -68,7 +68,8 @@ def _structure_opt(m: MapState, frame: FrameState, n_opt: int,
     ok = frame.feat_valid & (pid >= 0)
     pid_safe = jnp.clip(pid, 0, pt.pos.shape[0] - 1)
     age = jnp.where(ok, pt.last_optim[pid_safe], jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(age)[:n_opt]
+    # top-k oldest (smallest last_optim) — cheaper than a full argsort
+    _, order = jax.lax.top_k(-age, n_opt)
     sel = pid_safe[order]
     sel_ok = ok[order]
 
