@@ -21,6 +21,20 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _mm3(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 matmul as broadcast-multiply-reduce (see _mv3)."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def _mv3(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3x3 matrix-vector product as a broadcast-multiply-reduce.
+
+    Equivalent to einsum("...ij,...j->...i") but lowers to an
+    elementwise+reduce that XLA fuses with neighboring ops, instead of a
+    tiny dot_general kernel (the fused VO step is kernel-count-bound)."""
+    return jnp.sum(M * v[..., None, :], axis=-1)
+
+
 def _hat(w: jnp.ndarray) -> jnp.ndarray:
     """Skew-symmetric matrix of w (..., 3) -> (..., 3, 3)."""
     zeros = jnp.zeros_like(w[..., 0])
@@ -54,7 +68,7 @@ class SE3(NamedTuple):
         theta2 = jnp.sum(w * w, axis=-1)
         theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
         W = _hat(w)
-        W2 = W @ W
+        W2 = _mm3(W, W)
         # sin(t)/t, (1-cos t)/t^2, (t - sin t)/t^3 with Taylor fallbacks
         small = theta2 < _EPS
         st = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
@@ -65,7 +79,7 @@ class SE3(NamedTuple):
         eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
         R = eye + st[..., None, None] * W + ct[..., None, None] * W2
         V = eye + ct[..., None, None] * W + vt[..., None, None] * W2
-        t = jnp.einsum("...ij,...j->...i", V, v)
+        t = _mv3(V, v)
         return SE3(R, t)
 
     def log(self) -> jnp.ndarray:
@@ -81,7 +95,7 @@ class SE3(NamedTuple):
                            theta / (2.0 * jnp.sin(jnp.where(small, 1.0, theta))))
         w = factor[..., None] * _vee(R - jnp.swapaxes(R, -1, -2))
         W = _hat(w)
-        W2 = W @ W
+        W2 = _mm3(W, W)
         # V^{-1} = I - W/2 + (1/theta^2)(1 - theta sin / (2(1-cos))) W^2
         denom = 2.0 * (1.0 - jnp.cos(theta))
         coef = jnp.where(
@@ -90,28 +104,28 @@ class SE3(NamedTuple):
              / jnp.where(small, 1.0, denom)) / jnp.where(small, 1.0, theta2))
         eye = jnp.broadcast_to(jnp.eye(3, dtype=t.dtype), W.shape)
         Vinv = eye - 0.5 * W + coef[..., None, None] * W2
-        v = jnp.einsum("...ij,...j->...i", Vinv, t)
+        v = _mv3(Vinv, t)
         return jnp.concatenate([v, w], axis=-1)
 
     # -- group ops -----------------------------------------------------
     def __mul__(self, other: "SE3") -> "SE3":
-        return SE3(self.R @ other.R,
-                   jnp.einsum("...ij,...j->...i", self.R, other.t) + self.t)
+        return SE3(_mm3(self.R, other.R),
+                   _mv3(self.R, other.t) + self.t)
 
     def inverse(self) -> "SE3":
         Rt = jnp.swapaxes(self.R, -1, -2)
-        return SE3(Rt, -jnp.einsum("...ij,...j->...i", Rt, self.t))
+        return SE3(Rt, -_mv3(Rt, self.t))
 
     def apply(self, p: jnp.ndarray) -> jnp.ndarray:
         """Transform points p (..., 3)."""
-        return jnp.einsum("...ij,...j->...i", self.R, p) + self.t
+        return _mv3(self.R, p) + self.t
 
     def rotate(self, p: jnp.ndarray) -> jnp.ndarray:
-        return jnp.einsum("...ij,...j->...i", self.R, p)
+        return _mv3(self.R, p)
 
     def adjoint(self) -> jnp.ndarray:
         """Adjoint matrix (..., 6, 6) in (v, w) twist ordering."""
-        tR = _hat(self.t) @ self.R
+        tR = _mm3(_hat(self.t), self.R)
         zeros = jnp.zeros_like(self.R)
         top = jnp.concatenate([self.R, tR], axis=-1)
         bot = jnp.concatenate([zeros, self.R], axis=-1)

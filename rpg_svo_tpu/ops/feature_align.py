@@ -116,10 +116,16 @@ def _window(tile, okf, o):
 
     Returns (cur (N, 64) row-major y*8+x, usable (N,))."""
     Px, Py, PxB, PyB, inb = _select_mats(o)
-    cur = jnp.einsum("nit,ntu->niu", Py, tile)
-    cur = jnp.einsum("niu,nju->nij", cur, Px)           # (N, 8y, 8x)
-    support = jnp.einsum("nit,ntu->niu", PyB, okf)
-    support = jnp.einsum("niu,nju->n", support, PxB)    # 4 per px if valid
+    # broadcast-multiply-reduce instead of einsum: a batched (8,17)@(17,17)
+    # dot_general is a separate (MXU-padded) kernel per call site, which
+    # breaks XLA fusion of the GN iteration; explicit reduces fuse with
+    # the surrounding elementwise ops into one kernel (the step is
+    # kernel-count-bound on TPU, ~2-5us dispatch per kernel)
+    cur = jnp.sum(Py[:, :, :, None] * tile[:, None, :, :], axis=2)
+    cur = jnp.sum(cur[:, :, None, :] * Px[:, None, :, :], axis=3)
+    support = jnp.sum(PyB[:, :, :, None] * okf[:, None, :, :], axis=2)
+    support = jnp.sum(support[:, :, None, :] * PxB[:, None, :, :],
+                      axis=(1, 2, 3))                   # 4 per px if valid
     usable = inb & (support >= 4.0 * PATCH * PATCH - 0.5)
     return cur.reshape(-1, PATCH * PATCH), usable
 
@@ -165,12 +171,12 @@ def align_features(cur_img,
     ones = jnp.ones_like(dx)
     # 2-D: fixed 3x3 Hessian per item, J2 = [dx, dy, 1]
     J2 = jnp.stack([dx, dy, ones], axis=-1)           # (N, 64, 3)
-    H2 = jnp.einsum("npj,npk->njk", J2, J2)
+    H2 = jnp.sum(J2[:, :, :, None] * J2[:, :, None, :], axis=1)
     H2inv = inv3x3(H2 + 1e-9 * jnp.eye(3))
     # 1-D: directional gradient, J1 = [dd, 1]
     dd = dx * direction[:, None, 0] + dy * direction[:, None, 1]
     J1 = jnp.stack([dd, ones], axis=-1)               # (N, 64, 2)
-    H1 = jnp.einsum("npj,npk->njk", J1, J1)
+    H1 = jnp.sum(J1[:, :, :, None] * J1[:, :, None, :], axis=1)
     H1inv = inv2x2(H1 + 1e-9 * jnp.eye(2))
 
     base, tile, tok = _gather_tile(cur_img, level, px_init)
@@ -182,11 +188,11 @@ def align_features(cur_img,
         cur, in_img = _window(tile, okf, o)            # (N, 64), (N,)
         res = cur - ref + uvm[:, 2:3]                  # (N, 64)
         # 2-D update
-        Jres2 = jnp.einsum("np,npj->nj", res, J2)
-        upd2 = jnp.einsum("njk,nk->nj", H2inv, Jres2)  # (du, dv, dmu)
+        Jres2 = jnp.sum(res[:, :, None] * J2, axis=1)
+        upd2 = jnp.sum(H2inv * Jres2[:, None, :], axis=2)  # (du, dv, dmu)
         # 1-D update along direction
-        Jres1 = jnp.einsum("np,npj->nj", res, J1)
-        upd1 = jnp.einsum("njk,nk->nj", H1inv, Jres1)  # (step, dmu)
+        Jres1 = jnp.sum(res[:, :, None] * J1, axis=1)
+        upd1 = jnp.sum(H1inv * Jres1[:, None, :], axis=2)  # (step, dmu)
         upd1_uv = upd1[:, 0:1] * direction
         upd = jnp.where(
             is_1d[:, None],

@@ -35,6 +35,12 @@ from rpg_svo_tpu.geometry.cameras import project2d
 from rpg_svo_tpu.geometry.linalg import det2x2, inv2x2
 from rpg_svo_tpu.geometry.triangulation import depth_from_triangulation
 from rpg_svo_tpu.ops.interp import FlatPyramid
+
+
+def _bmv2(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2, 2) x (N, P, 2) -> (N, P, 2) as broadcast-multiply-reduce
+    (fuses with neighbors; a batched tiny dot_general is its own kernel)."""
+    return jnp.sum(M[:, None, :, :] * v[:, :, None, :], axis=-1)
 from rpg_svo_tpu.ops.feature_align import (
     HALFPATCH, PATCH, BORDERED, align2d, align_features,
 )
@@ -109,7 +115,7 @@ def warp_affine_patches(A_level0: jnp.ndarray, ref_pyr: FlatPyramid,
     scale_cur = (2.0 ** search_level.astype(jnp.float32))
     scale_ref = (2.0 ** level_ref.astype(jnp.float32))
     pc = grid[None] * scale_cur[:, None, None]              # level-0 cur offs
-    po = jnp.einsum("nij,npj->npi", Ainv, pc)               # level-0 ref offs
+    po = jnp.sum(Ainv[:, None, :, :] * pc[:, :, None, :], axis=-1)               # level-0 ref offs
     coords = (px_ref[:, None, :] + po) / scale_ref[:, None, None]
     vals, ok = ref_pyr.bilinear(level_ref[:, None], coords)
     return vals, jnp.all(ok, axis=-1)
@@ -143,7 +149,7 @@ def warp_affine_patches_tiles(A_level0: jnp.ndarray, tiles: jnp.ndarray,
     scale_cur = (2.0 ** search_level.astype(jnp.float32))
     scale_ref = (2.0 ** level_ref.astype(jnp.float32))
     pc = grid[None] * scale_cur[:, None, None]
-    po = jnp.einsum("nij,npj->npi", Ainv, pc)
+    po = jnp.sum(Ainv[:, None, :, :] * pc[:, :, None, :], axis=-1)
     coords = (px_ref[:, None, :] + po) / scale_ref[:, None, None]
     vals, ok = sample_tiles(tiles, xy0, coords)
     return vals, jnp.all(ok, axis=-1)
@@ -163,7 +169,7 @@ def warp_rotated_tiles(A_level0: jnp.ndarray, tiles: jnp.ndarray,
             + vv.ravel()[None, :, None] * nrm[:, None, :])
     scale_cur = (2.0 ** search_level.astype(jnp.float32))
     scale_ref = (2.0 ** level_ref.astype(jnp.float32))
-    po = jnp.einsum("nij,npj->npi", Ainv,
+    po = _bmv2(Ainv,
                     offs * scale_cur[:, None, None])
     coords = (px_ref[:, None, :] + po) / scale_ref[:, None, None]
     vals, ok = sample_tiles(tiles, xy0, coords)
@@ -243,7 +249,7 @@ def warp_patches_rotated(A_level0: jnp.ndarray, ref_pyr,
             + vv.ravel()[None, :, None] * nrm[:, None, :])
     scale_cur = (2.0 ** search_level.astype(jnp.float32))
     scale_ref = (2.0 ** level_ref.astype(jnp.float32))
-    po = jnp.einsum("nij,npj->npi", Ainv,
+    po = _bmv2(Ainv,
                     offs * scale_cur[:, None, None])      # level-0 ref offs
     coords = (px_ref[:, None, :] + po) / scale_ref[:, None, None]
     vals, ok = ref_pyr.bilinear(level_ref[:, None], coords)
@@ -369,7 +375,7 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
     # gradient is nearly orthogonal to the epipolar direction — the 1-D
     # scan cannot localize along an edge parallel to itself
     if ftr_type is not None:
-        grad_cur = jnp.einsum("nij,nj->ni", geom.A, ftr_grad)
+        grad_cur = jnp.sum(geom.A * ftr_grad[:, None, :], axis=-1)
         grad_cur = grad_cur / jnp.maximum(
             jnp.linalg.norm(grad_cur, axis=-1, keepdims=True), 1e-12)
         cosangle = jnp.abs(jnp.sum(grad_cur * dir_lvl, axis=-1))
@@ -475,7 +481,7 @@ def _direct_align(cur_pyr, A, search_level, patch_border, ref_ok,
     else:
         is_edge = ftr_type == FEATURE_EDGELET
         grad = ftr_grad
-    dir_cur = jnp.einsum("nij,nj->ni", A, grad)
+    dir_cur = jnp.sum(A * grad[:, None, :], axis=-1)
     dir_cur = dir_cur / jnp.maximum(
         jnp.linalg.norm(dir_cur, axis=-1, keepdims=True), 1e-12)
     px2, conv = align_features(cur_pyr, patch_border, px_lvl,

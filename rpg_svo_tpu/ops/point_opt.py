@@ -31,7 +31,8 @@ def _point_system(p_w, obs_R, obs_t, obs_f, obs_mask):
 
     p_w (K, 3) -> A (K, 3, 3), b (K, 3), chi2 (K,).
     """
-    p_cam = jnp.einsum("kmij,kj->kmi", obs_R, p_w) + obs_t   # (K, M, 3)
+    p_cam = jnp.sum(obs_R * p_w[:, None, None, :], axis=-1) \
+        + obs_t                                              # (K, M, 3)
     e = project2d(obs_f) - project2d(p_cam)                   # (K, M, 2)
     x, y = p_cam[..., 0], p_cam[..., 1]
     z = jnp.where(jnp.abs(p_cam[..., 2]) < 1e-10, 1e-10, p_cam[..., 2])
@@ -42,11 +43,13 @@ def _point_system(p_w, obs_R, obs_t, obs_f, obs_mask):
         jnp.stack([zi, zero, -x * zi * zi], axis=-1),
         jnp.stack([zero, zi, -y * zi * zi], axis=-1),
     ], axis=-2)                                               # (K, M, 2, 3)
-    J = -jnp.einsum("kmij,kmjl->kmil", Jproj, obs_R)
+    J = -jnp.sum(Jproj[..., :, :, None] * obs_R[..., None, :, :],
+                 axis=-2)
     m = obs_mask.astype(e.dtype)
     e = e * m[..., None]
-    A = jnp.einsum("kmia,kmib,km->kab", J, J, m)
-    b = -jnp.einsum("kmia,kmi,km->ka", J, e, m)
+    Jm = J * m[..., None, None]
+    A = jnp.sum(J[..., :, :, None] * Jm[..., :, None, :], axis=(1, 2))
+    b = -jnp.sum(Jm * e[..., None], axis=(1, 2))
     chi2 = jnp.sum(jnp.sum(e * e, -1), axis=-1)
     return A, b, chi2
 

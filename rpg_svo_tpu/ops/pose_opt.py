@@ -71,8 +71,9 @@ def optimize_pose(T_init: SE3,
         w = tukey_weight(jnp.linalg.norm(e, axis=-1)
                          / jnp.maximum(scale, 1e-12))
         w = jnp.where(valid, w, 0.0)
-        A = jnp.einsum("nij,nik,n->jk", J, J, w)
-        b = -jnp.einsum("nij,ni,n->j", J, e, w)
+        Jw = J * w[:, None, None]
+        A = jnp.sum(J[:, :, :, None] * Jw[:, :, None, :], axis=(0, 1))
+        b = -jnp.sum(Jw * e[:, :, None], axis=(0, 1))
         chi2 = jnp.sum(jnp.sum(e * e, -1) * w)
         return A, b, chi2
 

@@ -89,10 +89,12 @@ def _window(tile, okf, o):
 
     Px, PxB = sel(oi[:, 0], w[:, 0])
     Py, PyB = sel(oi[:, 1], w[:, 1])
-    cur = jnp.einsum("niu,nju->nij",
-                     jnp.einsum("nit,ntu->niu", Py, tile), Px)
-    sup = jnp.einsum("niu,nju->n",
-                     jnp.einsum("nit,ntu->niu", PyB, okf), PxB)
+    # broadcast-multiply-reduce (not einsum/dot_general): fuses into one
+    # kernel with the surrounding elementwise ops — see ops/feature_align
+    cy = jnp.sum(Py[:, :, :, None] * tile[:, None, :, :], axis=2)
+    cur = jnp.sum(cy[:, :, None, :] * Px[:, None, :, :], axis=3)
+    sy = jnp.sum(PyB[:, :, :, None] * okf[:, None, :, :], axis=2)
+    sup = jnp.sum(sy[:, :, None, :] * PxB[:, None, :, :], axis=(1, 2, 3))
     inb = (oi[:, 0] >= 0) & (oi[:, 1] >= 0) \
         & (oi[:, 0] <= TILE - PATCH_SIZE - 1) \
         & (oi[:, 1] <= TILE - PATCH_SIZE - 1)
@@ -182,8 +184,10 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
     def normal_eqs(res, m):
         mf = m.astype(res.dtype)
         # Jres = -sum J r  (reference: Jres_[k] -= res*J[k])
-        Jres = -jnp.einsum("na,nak->k", res * mf, jac)
-        H = jnp.einsum("naj,nak,na->jk", jac, jac, mf)
+        rm = res * mf
+        Jres = -jnp.sum(rm[:, :, None] * jac, axis=(0, 1))
+        jm = jac * mf[:, :, None]
+        H = jnp.sum(jac[:, :, :, None] * jm[:, :, None, :], axis=(0, 1))
         chi2 = jnp.sum(res * res) / jnp.maximum(jnp.sum(mf), 1.0)
         return H, Jres, chi2
 
