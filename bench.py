@@ -33,8 +33,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def main():
-    n_frames = int(os.environ.get("BENCH_FRAMES", "200"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "10"))
+    # scan-mode chunk: one host->device dispatch per chunk.  The tunneled
+    # device pays ~20 ms of round-trip latency per dispatch, so the
+    # throughput metric amortizes it over 40 frames; BENCH_MODE=step
+    # measures the per-frame low-latency path instead.
+    n_frames = int(os.environ.get("BENCH_FRAMES", "240"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "40"))
     from rpg_svo_tpu.config import fast_preset
     from rpg_svo_tpu.core.pipeline import FrameHandler
     from rpg_svo_tpu.core import fused

@@ -90,6 +90,10 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
              img_shape: Tuple[int, int]) -> Tuple[VOState, StepOut]:
     """One fused tracking+mapping step (DEFAULT or RELOCALIZING stage)."""
     C = ncx * ncy
+    # per-frame feature budget: the reference's maxFts cap
+    # (reprojector.cpp:138) — every per-feature stage batches over F
+    # slots instead of one per grid cell
+    F = min(-(-C // 8) * 8, -(-cfg.max_fts // 8) * 8)
     n_levels = cfg.n_levels_total
     shapes = pyramid_shapes(img_shape, n_levels)
     pyr = build_pyramid(img, n_levels)
@@ -112,10 +116,13 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     kf_slot = jnp.maximum(kf_slot, 0)
 
     def ref_from_kf(_):
+        # keyframe rows hold up to C features (detector/bootstrap
+        # density); compact the valid ones into the F-slot frame table
+        kok = m.kf.feat_valid[kf_slot] & (m.kf.feat_point[kf_slot] >= 0)
+        sel, sv = svomap.mask_compact(kok, F)
         return (m.kf.R[kf_slot], m.kf.t[kf_slot],
-                m.kf.feat_px[kf_slot], m.kf.feat_f[kf_slot],
-                m.kf.feat_point[kf_slot],
-                m.kf.feat_valid[kf_slot] & (m.kf.feat_point[kf_slot] >= 0))
+                m.kf.feat_px[kf_slot][sel], m.kf.feat_f[kf_slot][sel],
+                m.kf.feat_point[kf_slot][sel], sv)
 
     def ref_from_last(_):
         return (state.R, state.t, state.feat_px, state.feat_f,
@@ -156,22 +163,23 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     # --- reprojection + matching ----------------------------------------
     if "reproject" in abl:
         from rpg_svo_tpu.core.reprojector import ReprojectResult
-        nC = C - ref_px.shape[0]
-        padC = lambda a, fill=0: jnp.concatenate(
-            [a, jnp.full((nC,) + a.shape[1:], fill, a.dtype)]) \
-            if nC > 0 else a[:C]
+        nF = F - ref_px.shape[0]
+        padF = lambda a, fill=0: jnp.concatenate(
+            [a, jnp.full((nF,) + a.shape[1:], fill, a.dtype)]) \
+            if nF > 0 else a[:F]
         rep = ReprojectResult(
-            feat_px=padC(ref_px.astype(jnp.float32)),
-            feat_level=padC(jnp.zeros((ref_px.shape[0],), jnp.int32)),
-            feat_point=padC(ref_pid, -1),
-            feat_valid=padC(ref_ok, False),
-            feat_type=padC(jnp.zeros((ref_px.shape[0],), jnp.int32)),
-            feat_grad=padC(jnp.zeros((ref_px.shape[0], 2), jnp.float32)),
+            feat_px=padF(ref_px.astype(jnp.float32)),
+            feat_level=padF(jnp.zeros((ref_px.shape[0],), jnp.int32)),
+            feat_point=padF(ref_pid, -1),
+            feat_valid=padF(ref_ok, False),
+            feat_type=padF(jnp.zeros((ref_px.shape[0],), jnp.int32)),
+            feat_grad=padF(jnp.zeros((ref_px.shape[0], 2), jnp.float32)),
             n_matches=jnp.sum(ref_ok).astype(jnp.int32),
             n_trials=jnp.int32(0))
     else:
         pt2, rep = reproject_map(m, flat, T_cur, cam, cfg.grid_size, ncx,
-                                 ncy, max_level=n_levels - 1, cur_pad=pad)
+                                 ncy, max_level=n_levels - 1, cur_pad=pad,
+                                 max_fts=F)
         m = svomap.scrub_dead_references(m._replace(pt=pt2))
     enough = rep.n_matches >= cfg.quality_min_fts
 
@@ -265,17 +273,23 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
         is_kf,
         lambda _: extract_tiles(pad,
                                 rep.feat_px, rep.feat_level),
-        lambda _: empty_tiles(C), None)
+        lambda _: empty_tiles(F), None)
+    # pad the F-slot frame table to the keyframe row capacity (C slots:
+    # bootstrap/first-frame rows are detector-dense) with invalid slots
+    padC = lambda a, fill: a if a.shape[0] == C else jnp.concatenate(
+        [a, jnp.full((C - a.shape[0],) + a.shape[1:], fill, a.dtype)])
     m2, slot = svomap.add_keyframe(
         m, pad.stack.reshape(-1), T_out, frame_like.frame_id,
-        rep.feat_px, feat_f, rep.feat_level, frame_like.feat_point,
-        feat_valid, kf_depth,
-        feat_type=rep.feat_type, feat_grad=rep.feat_grad, enable=is_kf,
-        feat_tile=ftile, feat_tile_xy0=fxy0)
+        padC(rep.feat_px, 0), padC(feat_f, 0), padC(rep.feat_level, 0),
+        padC(frame_like.feat_point, -1), padC(feat_valid, False),
+        padC(kf_depth, 1.0),
+        feat_type=padC(rep.feat_type, 0),
+        feat_grad=padC(rep.feat_grad, 0), enable=is_kf,
+        feat_tile=padC(ftile, 0), feat_tile_xy0=padC(fxy0, -1))
     pt = svomap.add_point_observations(
         m2.pt, frame_like.feat_point,
-        jnp.full((C,), slot, jnp.int32),
-        jnp.arange(C, dtype=jnp.int32), feat_valid & is_kf)
+        jnp.full((F,), slot, jnp.int32),
+        jnp.arange(F, dtype=jnp.int32), feat_valid & is_kf)
     hit = jnp.zeros((P,), bool).at[pid].set(
         feat_valid & (frame_like.feat_point >= 0) & is_kf)
     ptype = jnp.where(hit & (pt.ptype == TYPE_CANDIDATE),

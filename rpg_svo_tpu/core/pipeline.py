@@ -131,6 +131,16 @@ class FrameHandler:
         self.ncx, self.ncy = grid_dims(img_shape[1], img_shape[0],
                                        cfg.grid_size)
         self.n_cells = self.ncx * self.ncy
+        # per-frame feature budget (the reference's maxFts cap): frame
+        # tables hold feat_cap slots; keyframe rows keep detector density
+        self.feat_cap = min(-(-self.n_cells // 8) * 8,
+                            -(-cfg.max_fts // 8) * 8)
+        import numpy as _np
+        # fixed shuffled cell order for spatially-fair compaction
+        # (reprojector.cpp:44-55 shuffles its cells the same way)
+        self._cell_perm = jnp.asarray(
+            _np.random.default_rng(0).permutation(self.n_cells)
+            .astype(_np.int32))
         self.map = svomap.init_map(
             n_kfs=cfg.max_kfs_pool, n_feats=self.n_cells,
             n_points=cfg.max_points, n_obs=cfg.max_obs_per_point,
@@ -158,6 +168,13 @@ class FrameHandler:
         self.last_frame = None
         self.num_obs_last = 0
 
+    def _compact_feats(self, good):
+        """Select up to feat_cap of the set bits of `good` (C,), in the
+        fixed shuffled cell order; returns (idx (F,), valid (F,))."""
+        sel_p, sv = svomap.mask_compact(good[self._cell_perm],
+                                        self.feat_cap)
+        return self._cell_perm[sel_p], sv
+
     # -- benchmark seeding (BenchmarkNode/setFirstFrame semantics) ------
     def set_first_frame_with_depth(self, img, T_f_w: SE3, depth_map,
                                    timestamp: float = 0.0):
@@ -165,7 +182,7 @@ class FrameHandler:
         like the blender benchmark (benchmark_node.cpp:216-234): detect
         corners, create GOOD points at GT depth, make the frame a keyframe.
         """
-        frame = make_frame(img, self.n_levels, self.n_cells,
+        frame = make_frame(img, self.n_levels, self.feat_cap,
                            self.next_id, timestamp, T_f_w)
         self.next_id += 1
         det = detect_features(frame.pyr, jnp.zeros((self.n_cells,), bool),
@@ -196,10 +213,11 @@ class FrameHandler:
             jnp.where(good, ids, -1)))
         self.map = m._replace(pt=pt, kf=kf)
 
-        frame = frame._replace(feat_px=px, feat_f=f,
-                               feat_level=det["level"],
-                               feat_point=jnp.where(good, ids, -1),
-                               feat_valid=good)
+        sel, sv = self._compact_feats(good)
+        frame = frame._replace(feat_px=px[sel], feat_f=f[sel],
+                               feat_level=det["level"][sel],
+                               feat_point=jnp.where(sv, ids[sel], -1),
+                               feat_valid=sv)
         # init depth-filter seeds on the remaining cells
         depth_mean, depth_min = scene_depth(frame, self.map.pt.pos)
         self.map = df.init_seeds(
@@ -214,7 +232,7 @@ class FrameHandler:
     # -- main entry ------------------------------------------------------
     def add_image(self, img, timestamp: float = 0.0):
         t0 = time.perf_counter()
-        frame = make_frame(img, self.n_levels, self.n_cells,
+        frame = make_frame(img, self.n_levels, self.feat_cap,
                            self.next_id, timestamp)
         self.next_id += 1
         info = {"frame_id": int(frame.frame_id), "timestamp": timestamp,
@@ -310,10 +328,12 @@ class FrameHandler:
             frame = frame.with_pose(
                 SE3(self.map.kf.R[slot1], self.map.kf.t[slot1]))
 
+        fsel, fsv = self._compact_feats(tv.inlier)
         frame = frame._replace(
-            feat_px=tv.px_cur, feat_f=tv.f_cur, feat_level=lvl0,
-            feat_point=jnp.where(tv.inlier, ids, -1),
-            feat_valid=tv.inlier)
+            feat_px=tv.px_cur[fsel], feat_f=tv.f_cur[fsel],
+            feat_level=lvl0[fsel],
+            feat_point=jnp.where(fsv, ids[fsel], -1),
+            feat_valid=fsv)
 
         # depth-filter seeds on keyframe 1
         depth_mean, depth_min = scene_depth(frame, self.map.pt.pos)
@@ -358,7 +378,8 @@ class FrameHandler:
         pt, rep = reproject_map(
             self.map, frame.flat, T_cur, self.cam,
             cfg.grid_size, self.ncx, self.ncy,
-            max_level=self.n_levels - 1, cur_pad=pad)
+            max_level=self.n_levels - 1, cur_pad=pad,
+            max_fts=self.feat_cap)
         self.map = svomap.scrub_dead_references(
             self.map._replace(pt=pt))
         info["repr_n_mps"] = int(rep.n_trials)
@@ -433,21 +454,27 @@ class FrameHandler:
         info["is_keyframe"] = True
         ktile, ktxy0 = extract_tiles(frame.flat, frame.feat_px,
                                      frame.feat_level)
+        C = self.n_cells
+        padC = lambda a, fill: a if a.shape[0] == C else jnp.concatenate(
+            [a, jnp.full((C - a.shape[0],) + a.shape[1:], fill, a.dtype)])
         m, slot = svomap.add_keyframe(
             self.map, frame.pad.stack.reshape(-1), frame.T_f_w, frame.frame_id,
-            frame.feat_px, frame.feat_f, frame.feat_level,
-            frame.feat_point, frame.feat_valid,
-            jnp.linalg.norm(frame.T_f_w.apply(
+            padC(frame.feat_px, 0), padC(frame.feat_f, 0),
+            padC(frame.feat_level, 0),
+            padC(frame.feat_point, -1), padC(frame.feat_valid, False),
+            padC(jnp.linalg.norm(frame.T_f_w.apply(
                 self.map.pt.pos[jnp.clip(frame.feat_point, 0,
                                          self.map.pt.pos.shape[0] - 1)]),
-                axis=-1),
-            feat_type=frame.feat_type, feat_grad=frame.feat_grad,
-            feat_tile=ktile, feat_tile_xy0=ktxy0)
+                axis=-1), 1.0),
+            feat_type=padC(frame.feat_type, 0),
+            feat_grad=padC(frame.feat_grad, 0),
+            feat_tile=padC(ktile, 0), feat_tile_xy0=padC(ktxy0, -1))
         # point->addFrameRef for all matched features; promote candidates
+        F = frame.feat_px.shape[0]
         pt = svomap.add_point_observations(
             m.pt, frame.feat_point,
-            jnp.full((self.n_cells,), slot, jnp.int32),
-            jnp.arange(self.n_cells, dtype=jnp.int32), frame.feat_valid)
+            jnp.full((F,), slot, jnp.int32),
+            jnp.arange(F, dtype=jnp.int32), frame.feat_valid)
         pid = jnp.clip(frame.feat_point, 0, pt.pos.shape[0] - 1)
         hit = jnp.zeros(pt.ptype.shape, bool).at[pid].set(
             frame.feat_valid & (frame.feat_point >= 0))
@@ -518,18 +545,24 @@ class FrameHandler:
             min_level=self.cfg.klt_min_level)
         if int(align.n_tracked) > 30:
             T_last_saved = self.last_frame.T_f_w
-            # continue the normal pipeline with the KF as "last frame"
+            # continue the normal pipeline with the KF as "last frame";
+            # its detector-dense row compacts into the F-slot frame table
+            sel, sv = self._compact_feats(fvalid) \
+                if fvalid.shape[0] != self.feat_cap \
+                else (jnp.arange(self.feat_cap), fvalid)
             kf_frame = FrameState(
                 pyr=tuple(pyr), pad=kf_pad, flat=kf_pad.flat_view(),
                 R=kf.R[ref_slot], t=kf.t[ref_slot],
                 frame_id=kf.frame_id[ref_slot],
                 timestamp=frame.timestamp,
-                feat_px=kf.feat_px[ref_slot], feat_f=kf.feat_f[ref_slot],
-                feat_level=kf.feat_level[ref_slot],
-                feat_point=kf.feat_point[ref_slot],
-                feat_valid=fvalid,
-                feat_type=kf.feat_type[ref_slot],
-                feat_grad=kf.feat_grad[ref_slot])
+                feat_px=kf.feat_px[ref_slot][sel],
+                feat_f=kf.feat_f[ref_slot][sel],
+                feat_level=kf.feat_level[ref_slot][sel],
+                feat_point=jnp.where(sv, kf.feat_point[ref_slot][sel],
+                                     -1),
+                feat_valid=sv,
+                feat_type=kf.feat_type[ref_slot][sel],
+                feat_grad=kf.feat_grad[ref_slot][sel])
             saved_last = self.last_frame
             self.last_frame = kf_frame
             res, frame, info = self._process_frame(frame, info)
@@ -571,7 +604,7 @@ class FrameHandler:
         if len(slots) == 0:
             return False
         slot = int(slots[0])
-        frame = make_frame(img, self.n_levels, self.n_cells,
+        frame = make_frame(img, self.n_levels, self.feat_cap,
                            self.next_id, timestamp)
         self.next_id += 1
         T_kf = SE3(kf.R[slot], kf.t[slot])

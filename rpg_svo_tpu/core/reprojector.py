@@ -51,11 +51,19 @@ class ReprojectResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("grid_size", "ncx", "ncy",
-                                             "max_level"))
+                                             "max_level", "max_fts"))
 def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
                   grid_size: int, ncx: int, ncy: int,
-                  max_level: int = 4, cur_pad=None):
-    """Returns (PointStore with updated counters/types, ReprojectResult)."""
+                  max_level: int = 4, cur_pad=None, max_fts: int = 0):
+    """Returns (PointStore with updated counters/types, ReprojectResult).
+
+    max_fts > 0 caps the match attempts at that many cells (the
+    reference's maxFts budget, reprojector.cpp:138,195-201): cells are
+    ranked by their best candidate's quality (GOOD > UNKNOWN > CANDIDATE,
+    pointQualityComparator) with a fixed shuffled order breaking ties —
+    the reference's shuffled cell iteration (reprojector.cpp:44-55).
+    All downstream per-feature work then batches over max_fts slots
+    instead of every grid cell."""
     pt = m.pt
     P = pt.pos.shape[0]
     C = ncx * ncy
@@ -82,6 +90,24 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
     best = jax.ops.segment_max(comp, cell, num_segments=C)
     has = best >= 0
     sel_pt = jnp.where(has, best % P, 0)            # (C,) selected point id
+
+    # Attempt budget: the reference attempts cells (in shuffled order,
+    # best quality per cell) until maxFts MATCHES succeed
+    # (reprojector.cpp:195-201) — so the attempt count is data-dependent
+    # and > maxFts when matching is hard.  Statically: attempt the best
+    # A = max(2*maxFts, 256) cells, then compact the successes to the
+    # maxFts-slot feature table below.
+    A = C
+    if max_fts and max_fts < C:
+        A = min(C, -(-max(2 * max_fts, 256) // 8) * 8)
+        import numpy as _np
+        perm = jnp.asarray(_np.random.default_rng(0).permutation(C)
+                           .astype(_np.int32))
+        tier = jnp.clip(best // P, 0, 3)
+        key = jnp.where(has, tier * C + perm, -1)
+        _, cell_sel = jax.lax.top_k(key, A)
+        has = has[cell_sel]
+        sel_pt = sel_pt[cell_sel]
 
     # ---- reference observation: closest view among obs + origin --------
     sel_pos = pt.pos[sel_pt]                                   # (C, 3)
@@ -169,6 +195,23 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
     success = success & (ptype[sel_pt] != TYPE_DELETED)
 
     pt = pt._replace(n_succ=n_succ, n_fail=n_fail, ptype=ptype)
+    if max_fts and max_fts < A:
+        # keep the first max_fts successes (attempt order = quality tier
+        # then shuffled cells, like the reference's loop that stops at
+        # maxFts matches)
+        from rpg_svo_tpu.core.map import mask_compact
+        fsel, fok = mask_compact(success, max_fts)
+        res = ReprojectResult(
+            feat_px=match.px_cur[fsel],
+            feat_level=match.level_cur[fsel],
+            feat_point=jnp.where(fok, sel_pt[fsel], -1),
+            feat_valid=fok,
+            feat_type=ref_type[fsel],
+            feat_grad=match.grad_cur[fsel],
+            n_matches=jnp.sum(fok).astype(jnp.int32),
+            n_trials=jnp.sum(attempt).astype(jnp.int32),
+        )
+        return pt, res
     res = ReprojectResult(
         feat_px=match.px_cur,
         feat_level=match.level_cur,
