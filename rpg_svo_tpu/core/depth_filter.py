@@ -338,40 +338,89 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
 
         return jax.lax.cond(enable, yes, no, None)
 
+    px_error_angle = jnp.arctan(1.0 / (2.0 * cam.fx)) * 2.0
+
     if update_k and update_k < S:
         # compact: eligible seeds first (order-preserving O(S) cumsum
-        # compaction — an argsort here pays a full sort network)
-        sel, elig_c = mask_compact(eligible, update_k)
+        # compaction — an argsort here pays a full sort network).  The
+        # whole match + tau + Bayesian update then runs in the compacted
+        # K-domain and scatters back ONCE — nothing per-frame iterates
+        # over the full pool except the cheap eligibility masks.
+        K = update_k
+        sel, elig_c = mask_compact(eligible, K)
         gather = lambda a: a[sel]
+        T_cr_k = jax.tree.map(gather, T_cur_ref)
+        f_k = seed.f[sel]
+        mu_k0 = seed.mu[sel]
+        sigma2_k0 = seed.sigma2[sel]
+        a_k0 = seed.a[sel]
+        b_k0 = seed.b[sel]
+        zr_k = seed.z_range[sel]
         _, depth_c, succ_c = _gated_match(
-            seed.px[sel], seed.f[sel], seed.level[sel], seed.tile[sel],
+            seed.px[sel], f_k, seed.level[sel], seed.tile[sel],
             seed.tile_xy0[sel], seed.ftype[sel], seed.grad[sel],
-            jax.tree.map(gather, T_cur_ref), gather(1.0 / mu_safe),
-            gather(d_min), gather(d_max), elig_c)
-        # scatter back via a dropped overflow slot (invalid rows point at
-        # slot 0 after compaction; never let them clobber it); seeds
-        # beyond the cap read as "not searched"
+            T_cr_k, gather(1.0 / mu_safe), gather(d_min), gather(d_max),
+            elig_c)
+        matched_k = succ_c & elig_c
+        failed_k = elig_c & ~succ_c
+
+        # failed match: outlier evidence b += 1 (:243-247)
+        b_base = jnp.where(failed_k, b_k0 + 1.0, b_k0)
+        # tau and Bayesian update (:249-255, :334-350)
+        z_k = jnp.maximum(depth_c, 1e-8)
+        tau_k = compute_tau(jax.tree.map(gather, T_ref_cur).t, f_k, z_k,
+                            px_error_angle)
+        tau_inv_k = 0.5 * (1.0 / jnp.maximum(1e-7, z_k - tau_k)
+                           - 1.0 / (z_k + tau_k))
+        mu2, sigma22, a2, b2 = seed_variance_update(
+            mu_k0, sigma2_k0, a_k0, b_base, zr_k, 1.0 / z_k,
+            tau_inv_k * tau_inv_k)
+        mu_k = jnp.where(matched_k, mu2, mu_k0)
+        sigma2_k = jnp.where(matched_k, sigma22, sigma2_k0)
+        a_k = jnp.where(matched_k, a2, a_k0)
+        b_k = jnp.where(matched_k, b2, b_base)
+        conv_k = matched_k & (jnp.sqrt(jnp.maximum(sigma2_k, 0.0))
+                              < zr_k / conv_thresh)
+        T_w_kf_k = jax.tree.map(gather, T_kf_w).inverse()
+        p_w_k = T_w_kf_k.apply(f_k / jnp.maximum(mu_k, 1e-8)[:, None])
+        nan_k = ~jnp.isfinite(gather(z_inv_min)) | ~jnp.isfinite(mu_k)
+
+        # one guarded scatter pass back to the pool (invalid compaction
+        # rows point at slot 0; route them to a dropped overflow slot,
+        # so their written values never land)
         tgt = jnp.where(elig_c, sel, S)
-        searched = jnp.zeros((S + 1,), bool).at[tgt].set(elig_c)[:S]
-        success = jnp.zeros((S + 1,), bool).at[tgt].set(
-            succ_c & elig_c)[:S]
-        depth_ref = jnp.ones((S + 1,), jnp.float32).at[tgt].set(
-            depth_c)[:S]
-        matched = success
-        failed_search = searched & ~success
-    else:
-        _, depth_ref, succ = _gated_match(
-            seed.px, seed.f, seed.level, seed.tile, seed.tile_xy0,
-            seed.ftype, seed.grad, T_cur_ref, 1.0 / mu_safe, d_min, d_max,
-            eligible)
-        matched = eligible & succ
-        failed_search = eligible & ~succ
+        scat = lambda base, val: jnp.concatenate(
+            [base, base[:1]]).at[tgt].set(val)[:S]
+        mu_out = scat(seed.mu, mu_k)
+        sigma2_out = scat(seed.sigma2, sigma2_k)
+        a_out = scat(seed.a, a_k)
+        b_out = scat(seed.b, b_k)
+        converged = jnp.zeros((S + 1,), bool).at[tgt].set(conv_k)[:S]
+        p_w = jnp.zeros((S + 1, 3), jnp.float32).at[tgt].set(p_w_k)[:S]
+        dead = jnp.zeros((S + 1,), bool).at[tgt].set(
+            (conv_k | nan_k) & elig_c)[:S]
+        active_out = jnp.where(enable, active & ~dead, seed.active)
+
+        stats = SeedUpdateStats(
+            n_updated=jnp.sum(matched_k).astype(jnp.int32),
+            n_failed=jnp.sum(failed_k).astype(jnp.int32),
+            n_converged=jnp.sum(conv_k).astype(jnp.int32),
+            n_seeds=jnp.sum(active_out).astype(jnp.int32),
+        )
+        return SeedFieldUpdate(active_out, mu_out, sigma2_out, a_out,
+                               b_out, converged, p_w, stats)
+
+    _, depth_ref, succ = _gated_match(
+        seed.px, seed.f, seed.level, seed.tile, seed.tile_xy0,
+        seed.ftype, seed.grad, T_cur_ref, 1.0 / mu_safe, d_min, d_max,
+        eligible)
+    matched = eligible & succ
+    failed_search = eligible & ~succ
 
     # --- failed match: outlier evidence b += 1 (:243-247)
     b_new = jnp.where(failed_search, seed.b + 1.0, seed.b)
 
     # --- tau and Bayesian update (:249-255)
-    px_error_angle = jnp.arctan(1.0 / (2.0 * cam.fx)) * 2.0
     z = jnp.maximum(depth_ref, 1e-8)
     tau = compute_tau(T_ref_cur.t, seed.f, z, px_error_angle)
     tau_inv = 0.5 * (1.0 / jnp.maximum(1e-7, z - tau) - 1.0 / (z + tau))

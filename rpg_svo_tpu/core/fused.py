@@ -93,7 +93,7 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     # per-frame feature budget: the reference's maxFts cap
     # (reprojector.cpp:138) — every per-feature stage batches over F
     # slots instead of one per grid cell
-    F = min(-(-C // 8) * 8, -(-cfg.max_fts // 8) * 8)
+    F = min(-(-C // 8) * 8, -(-cfg.max_fts // 128) * 128)
     n_levels = cfg.n_levels_total
     shapes = pyramid_shapes(img_shape, n_levels)
     pyr = build_pyramid(img, n_levels)
@@ -252,11 +252,24 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     else:
         due = jnp.bool_(True)
     if "df" not in abl:
-        upd = df.update_seeds_fields(
-            m, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
-            conv_thresh=cfg.seed_convergence_sigma2_thresh,
-            max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k,
-            cur_pad=pad, enable=due)
+        mm = m
+
+        def do_update(_):
+            # the whole field update (visibility, epipolar match, tau,
+            # Bayesian update) — its outputs are S-sized field deltas
+            # (~100 KB), cheap as cond outputs; the pools stay outside
+            return df.update_seeds_fields(
+                mm, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
+                conv_thresh=cfg.seed_convergence_sigma2_thresh,
+                max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k,
+                cur_pad=pad, enable=True)
+
+        if cfg.df_update_every > 1:
+            upd = jax.lax.cond(
+                due, do_update,
+                lambda _: df.identity_seed_update(mm.seed), None)
+        else:
+            upd = do_update(None)
         m = df.apply_seed_update(m, upd)
 
     # --- keyframe insertion ------------------------------------------------

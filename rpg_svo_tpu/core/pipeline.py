@@ -134,7 +134,7 @@ class FrameHandler:
         # per-frame feature budget (the reference's maxFts cap): frame
         # tables hold feat_cap slots; keyframe rows keep detector density
         self.feat_cap = min(-(-self.n_cells // 8) * 8,
-                            -(-cfg.max_fts // 8) * 8)
+                            -(-cfg.max_fts // 128) * 128)
         import numpy as _np
         # fixed shuffled cell order for spatially-fair compaction
         # (reprojector.cpp:44-55 shuffles its cells the same way)
