@@ -38,22 +38,27 @@ def fast_corner_mask(img: jnp.ndarray, threshold: float = 20.0,
     brighter than I+t or all darker than I−t (FAST-10 for arc_length=10,
     matching fast_corner_detect_10 in the reference's `fast` dependency).
     """
-    shifted = []
-    for dx, dy in FAST_OFFSETS:
-        shifted.append(jnp.roll(jnp.roll(img, -dy, axis=0), -dx, axis=1))
-    circle = jnp.stack(shifted, axis=0)               # (16, H, W)
-    brighter = circle > img[None] + threshold
-    darker = circle < img[None] - threshold
+    # pack the 16 circle comparisons into one int32 bitmask per pixel;
+    # a circular run of `arc_length` set bits exists iff repeatedly
+    # ANDing with the rotated mask (arc_length-1 times) leaves any bit —
+    # ~8x fewer whole-image passes than materializing a (16, H, W)
+    # boolean stack and AND-ing 16 windows
+    hi = img + threshold
+    lo = img - threshold
+    bits_b = jnp.zeros(img.shape, jnp.int32)
+    bits_d = jnp.zeros(img.shape, jnp.int32)
+    for i, (dx, dy) in enumerate(FAST_OFFSETS):
+        s = jnp.roll(jnp.roll(img, -dy, axis=0), -dx, axis=1)
+        bits_b = bits_b | ((s > hi).astype(jnp.int32) << i)
+        bits_d = bits_d | ((s < lo).astype(jnp.int32) << i)
 
-    def has_run(mask):
-        # circular contiguous run of arc_length: AND over each window
-        ext = jnp.concatenate([mask, mask[: arc_length - 1]], axis=0)
-        hit = jnp.zeros(img.shape, dtype=bool)
-        for k in range(16):
-            hit = hit | jnp.all(ext[k: k + arc_length], axis=0)
-        return hit
+    def has_run(m):
+        for _ in range(arc_length - 1):
+            rot = ((m << 1) | (m >> 15)) & 0xFFFF
+            m = m & rot
+        return m != 0
 
-    corner = has_run(brighter) | has_run(darker)
+    corner = has_run(bits_b) | has_run(bits_d)
     # circle support must be inside the image (3px border)
     H, W = img.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
