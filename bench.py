@@ -37,8 +37,8 @@ def main():
     # device pays ~20 ms of round-trip latency per dispatch, so the
     # throughput metric amortizes it over 40 frames; BENCH_MODE=step
     # measures the per-frame low-latency path instead.
-    n_frames = int(os.environ.get("BENCH_FRAMES", "240"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "40"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "400"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "80"))
     from rpg_svo_tpu.config import fast_preset
     from rpg_svo_tpu.core.pipeline import FrameHandler
     from rpg_svo_tpu.core import fused
