@@ -89,12 +89,16 @@ def main():
         t0 = time.perf_counter()
         all_pos = []
         n_timed = 0
+        # keep 2 chunk dispatches in flight: the ~20 ms host->device
+        # round trip of chunk c+1's dispatch overlaps chunk c's compute
+        # (bounded queue depth so the remote worker stays healthy)
         for c in range(n_chunks):
             lo = n_warm + c * chunk
             state, outs = scan(state, imgs[lo: lo + chunk])
             all_pos.append(outs.t_wc)
             n_timed += chunk
-            outs.t_wc.block_until_ready()
+            if len(all_pos) >= 2:
+                all_pos[-2].block_until_ready()
         jax.block_until_ready(state.t)
         dt = time.perf_counter() - t0
         pos = jnp.concatenate(all_pos) if all_pos else jnp.zeros((0, 3))

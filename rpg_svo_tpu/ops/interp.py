@@ -147,6 +147,19 @@ class FlatPyramid:
         return jnp.where(valid, top * (1.0 - wy) + bot * wy, fill), valid
 
 
+    def cast(self, dtype) -> "FlatPyramid":
+        """View of this pyramid with the flat buffer cast to `dtype`
+        (one dense convert; gathers then move half/quarter the bytes)."""
+        obj = FlatPyramid.__new__(FlatPyramid)
+        obj.n_levels = self.n_levels
+        obj.shapes = self.shapes
+        obj._offsets = self._offsets
+        obj._widths = self._widths
+        obj._heights = self._heights
+        obj._strides = self._strides
+        obj.flat = self.flat.astype(dtype)
+        return obj
+
     def nearest(self, level: jnp.ndarray, xy: jnp.ndarray,
                 fill: float = 0.0):
         """Nearest-neighbor sampling (1 gather per sample; the epipolar

@@ -349,9 +349,15 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
                   + cs[None, :, None, None] * dir_lvl[:, None, None, :]
                   + rs[None, None, :, None] * nrm[:, None, None, :])
         # nearest-neighbor: 1 gather/sample (reference scans integer
-        # pixels too); align2d below recovers the subpixel position
-        strip, strip_ok = cur_pyr.nearest(
+        # pixels too); align2d below recovers the subpixel position.
+        # SVO_SCAN_BF16=1: gather from a bf16 copy of the pyramid (half
+        # the gathered bytes; scores still accumulate in f32)
+        import os
+        src = cur_pyr.cast(jnp.bfloat16) \
+            if os.environ.get("SVO_SCAN_BF16") == "1" else cur_pyr
+        strip, strip_ok = src.nearest(
             search_level[:, None, None], coords)          # (N, S+8, 8)
+        strip = strip.astype(jnp.float32)
 
         # windows: W[s] = strip[s : s+8, :] -> (N, S, 64), static slices
         wins = jnp.stack([strip[:, u: u + max_steps, :]
