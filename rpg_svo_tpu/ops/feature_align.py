@@ -87,11 +87,12 @@ def _gather_tile(cur_img, level, px_init):
     return base.astype(jnp.float32), vals, ok
 
 
-def _select_mats(o):
+def _select_mats(o, need_support: bool = True):
     """Bilinear row/col selection matrices for window offset o (N, 2).
 
     Returns (Px, Py) each (N, PATCH, TILE) with the two-tap bilinear
-    weights, plus (PxB, PyB) binary support masks and an in-bounds mask."""
+    weights, plus (PxB, PyB) binary support masks (None when
+    need_support=False) and an in-bounds mask."""
     oi = jnp.floor(o).astype(jnp.int32)
     w = o - oi
     i8 = jnp.arange(PATCH, dtype=jnp.int32)[None, :, None]
@@ -102,7 +103,7 @@ def _select_mats(o):
         b = (jT == i8 + oid[:, None, None] + 1)
         m = a.astype(jnp.float32) * (1.0 - wd)[:, None, None] \
             + b.astype(jnp.float32) * wd[:, None, None]
-        return m, (a | b).astype(jnp.float32)
+        return m, (a | b).astype(jnp.float32) if need_support else None
 
     Px, PxB = sel(oi[:, 0], w[:, 0])
     Py, PyB = sel(oi[:, 1], w[:, 1])
@@ -111,11 +112,13 @@ def _select_mats(o):
     return Px, Py, PxB, PyB, inb
 
 
-def _window(tile, okf, o):
+def _window(tile, okf, o, full_ok: bool = False):
     """Sample the 8x8 bilinear window at float offset o from the tile.
 
-    Returns (cur (N, 64) row-major y*8+x, usable (N,))."""
-    Px, Py, PxB, PyB, inb = _select_mats(o)
+    Returns (cur (N, 64) row-major y*8+x, usable (N,)).  full_ok=True
+    (tiles from the Pallas aligned loader: every pixel backed) skips the
+    4-tap support reduction — in-bounds alone decides usability."""
+    Px, Py, PxB, PyB, inb = _select_mats(o, need_support=not full_ok)
     # broadcast-multiply-reduce instead of einsum: a batched (8,17)@(17,17)
     # dot_general is a separate (MXU-padded) kernel per call site, which
     # breaks XLA fusion of the GN iteration; explicit reduces fuse with
@@ -123,10 +126,13 @@ def _window(tile, okf, o):
     # kernel-count-bound on TPU, ~2-5us dispatch per kernel)
     cur = jnp.sum(Py[:, :, :, None] * tile[:, None, :, :], axis=2)
     cur = jnp.sum(cur[:, :, None, :] * Px[:, None, :, :], axis=3)
-    support = jnp.sum(PyB[:, :, :, None] * okf[:, None, :, :], axis=2)
-    support = jnp.sum(support[:, :, None, :] * PxB[:, None, :, :],
-                      axis=(1, 2, 3))                   # 4 per px if valid
-    usable = inb & (support >= 4.0 * PATCH * PATCH - 0.5)
+    if full_ok:
+        usable = inb
+    else:
+        support = jnp.sum(PyB[:, :, :, None] * okf[:, None, :, :], axis=2)
+        support = jnp.sum(support[:, :, None, :] * PxB[:, None, :, :],
+                          axis=(1, 2, 3))               # 4 per px if valid
+        usable = inb & (support >= 4.0 * PATCH * PATCH - 0.5)
     return cur.reshape(-1, PATCH * PATCH), usable
 
 
@@ -179,13 +185,15 @@ def align_features(cur_img,
     H1 = jnp.sum(J1[:, :, :, None] * J1[:, :, None, :], axis=1)
     H1inv = inv2x2(H1 + 1e-9 * jnp.eye(2))
 
+    from rpg_svo_tpu.ops.pallas_tiles import PaddedPyramid
+    full_ok = isinstance(cur_img, PaddedPyramid)   # tiles always backed
     base, tile, tok = _gather_tile(cur_img, level, px_init)
     okf = tok.astype(jnp.float32)
 
     def body(_, state):
         uvm, conv = state                              # (N, 3), (N,)
         o = uvm[:, :2] - HALFPATCH - base
-        cur, in_img = _window(tile, okf, o)            # (N, 64), (N,)
+        cur, in_img = _window(tile, okf, o, full_ok)   # (N, 64), (N,)
         res = cur - ref + uvm[:, 2:3]                  # (N, 64)
         # 2-D update
         Jres2 = jnp.sum(res[:, :, None] * J2, axis=1)

@@ -73,8 +73,11 @@ def _gather_tile(img, uv0, cur_pad=None, level: int = 0):
     return base.astype(jnp.float32), vals, ok.astype(jnp.float32)
 
 
-def _window(tile, okf, o):
-    """Bilinear 4x4 window at float tile-offset o; (N, 16) + usable (N,)."""
+def _window(tile, okf, o, full_ok: bool = False):
+    """Bilinear 4x4 window at float tile-offset o; (N, 16) + usable (N,).
+
+    full_ok=True (tiles from the Pallas aligned loader: always fully
+    backed) skips the 4-tap support reduction."""
     oi = jnp.floor(o).astype(jnp.int32)
     w = o - oi
     iP = jnp.arange(PATCH_SIZE, dtype=jnp.int32)[None, :, None]
@@ -85,7 +88,7 @@ def _window(tile, okf, o):
         b = (jT == iP + oid[:, None, None] + 1)
         m = a.astype(jnp.float32) * (1.0 - wd)[:, None, None] \
             + b.astype(jnp.float32) * wd[:, None, None]
-        return m, (a | b).astype(jnp.float32)
+        return m, (a | b).astype(jnp.float32) if not full_ok else None
 
     Px, PxB = sel(oi[:, 0], w[:, 0])
     Py, PyB = sel(oi[:, 1], w[:, 1])
@@ -93,12 +96,16 @@ def _window(tile, okf, o):
     # kernel with the surrounding elementwise ops — see ops/feature_align
     cy = jnp.sum(Py[:, :, :, None] * tile[:, None, :, :], axis=2)
     cur = jnp.sum(cy[:, :, None, :] * Px[:, None, :, :], axis=3)
-    sy = jnp.sum(PyB[:, :, :, None] * okf[:, None, :, :], axis=2)
-    sup = jnp.sum(sy[:, :, None, :] * PxB[:, None, :, :], axis=(1, 2, 3))
     inb = (oi[:, 0] >= 0) & (oi[:, 1] >= 0) \
         & (oi[:, 0] <= TILE - PATCH_SIZE - 1) \
         & (oi[:, 1] <= TILE - PATCH_SIZE - 1)
-    usable = inb & (sup >= 4.0 * PATCH_AREA - 0.5)
+    if full_ok:
+        usable = inb
+    else:
+        sy = jnp.sum(PyB[:, :, :, None] * okf[:, None, :, :], axis=2)
+        sup = jnp.sum(sy[:, :, None, :] * PxB[:, None, :, :],
+                      axis=(1, 2, 3))
+        usable = inb & (sup >= 4.0 * PATCH_AREA - 0.5)
     return cur.reshape(-1, PATCH_AREA), usable
 
 
@@ -169,13 +176,14 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
     scale = 1.0 / (2.0 ** level)
     uv0 = cam.world2cam(T_init.apply(p_ref)) * scale
     base, tile, okf = _gather_tile(cur_img, uv0, cur_pad, level)
+    full_ok = cur_pad is not None   # Pallas tiles: always fully backed
 
     def residuals(T: SE3):
         p_cur = T.apply(p_ref)                    # (N, 3)
         behind = p_cur[..., 2] <= 1e-6
         uv_cur = cam.world2cam(p_cur) * scale     # (N, 2) level-l coords
         o = uv_cur - PATCH_HALFSIZE - base
-        vals, usable = _window(tile, okf, o)      # (N, A), (N,)
+        vals, usable = _window(tile, okf, o, full_ok)  # (N, A), (N,)
         m = (valid & usable & (~behind))[:, None] \
             & jnp.ones((1, PATCH_AREA), bool)
         res = jnp.where(m, vals - ref_patch, 0.0)
