@@ -81,6 +81,14 @@ class Config:
     # before the epipolar search, so its cost scales with live seeds, not
     # with the pool capacity.
     df_update_k: int = 512
+    # Two-tier scan (0 disables): seeds whose epipolar segment fits in
+    # `epi_short_steps` 1-px windows scan a short strip in place; longer
+    # segments are compacted to `epi_long_k` slots and scan at
+    # epi_max_steps width (overflow longs are deferred to a later frame).
+    # The strip gather is latency-bound per SAMPLE, so total samples —
+    # K*(short+8)*8 + long_k*(max+8)*8 — is the whole scan cost.
+    epi_short_steps: int = 0
+    epi_long_k: int = 192
     # Update seeds only every Nth non-keyframe frame (keyframes always
     # update).  The reference's mapping thread drops frames whenever its
     # queue (cap 3) is full (depth_filter.cpp:82-97); this is the static

@@ -229,17 +229,19 @@ def apply_seed_update(m: MapState, upd: SeedFieldUpdate) -> MapState:
 
 
 @functools.partial(jax.jit, static_argnames=("max_n_kfs", "conv_thresh",
-                                             "max_steps", "update_k"))
+                                             "max_steps", "update_k",
+                                             "short_steps", "long_k"))
 def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
                  max_n_kfs: int = 3, conv_thresh: float = 200.0,
                  max_steps: int = 256, update_k: int = 0,
-                 cur_pad=None) -> Tuple[MapState, SeedUpdateStats]:
+                 cur_pad=None, short_steps: int = 0,
+                 long_k: int = 0) -> Tuple[MapState, SeedUpdateStats]:
     """One batched update of ALL active seeds against the current frame
     (field computation + write-back/allocation in one call)."""
     upd = update_seeds_fields(
         m, cur_pyr, T_cur_w, cam, max_n_kfs=max_n_kfs,
         conv_thresh=conv_thresh, max_steps=max_steps, update_k=update_k,
-        cur_pad=cur_pad)
+        cur_pad=cur_pad, short_steps=short_steps, long_k=long_k)
     return apply_seed_update(m, upd), upd.stats
 
 
@@ -248,7 +250,8 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
                         conv_thresh: float = 200.0,
                         max_steps: int = 256, update_k: int = 0,
                         cur_pad=None,
-                        enable: jnp.ndarray | bool = True
+                        enable: jnp.ndarray | bool = True,
+                        short_steps: int = 0, long_k: int = 0
                         ) -> SeedFieldUpdate:
     """One batched update of ALL active seeds against the current frame.
 
@@ -310,7 +313,7 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
         return epipolar_search(
             cur_pyr, cam, geom, T_cr, f, ref_b, ref_r, okb & okr, elig,
             max_steps=max_steps, ftr_type=ftype, ftr_grad=grad,
-            cur_pad=cur_pad)
+            cur_pad=cur_pad, short_steps=short_steps, long_k=long_k)
 
     def _gated_match(px, f, level, tile, tile_xy0, ftype, grad, T_cr,
                      d_est, dmin, dmax, elig):
@@ -321,20 +324,22 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
             if enable:
                 mm = _tile_match(px, f, level, tile, tile_xy0, ftype,
                                  grad, T_cr, d_est, dmin, dmax, elig)
-                return mm.px_cur, mm.depth_ref, mm.success
+                return mm.px_cur, mm.depth_ref, mm.success, mm.scanned
             k = px.shape[0]
             return (jnp.zeros((k, 2), jnp.float32),
-                    jnp.ones((k,), jnp.float32), jnp.zeros((k,), bool))
+                    jnp.ones((k,), jnp.float32), jnp.zeros((k,), bool),
+                    jnp.zeros((k,), bool))
 
         def yes(_):
             mm = _tile_match(px, f, level, tile, tile_xy0, ftype, grad,
                              T_cr, d_est, dmin, dmax, elig)
-            return mm.px_cur, mm.depth_ref, mm.success
+            return mm.px_cur, mm.depth_ref, mm.success, mm.scanned
 
         def no(_):
             k = px.shape[0]
             return (jnp.zeros((k, 2), jnp.float32),
-                    jnp.ones((k,), jnp.float32), jnp.zeros((k,), bool))
+                    jnp.ones((k,), jnp.float32), jnp.zeros((k,), bool),
+                    jnp.zeros((k,), bool))
 
         return jax.lax.cond(enable, yes, no, None)
 
@@ -356,13 +361,14 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
         a_k0 = seed.a[sel]
         b_k0 = seed.b[sel]
         zr_k = seed.z_range[sel]
-        _, depth_c, succ_c = _gated_match(
+        _, depth_c, succ_c, scanned_c = _gated_match(
             seed.px[sel], f_k, seed.level[sel], seed.tile[sel],
             seed.tile_xy0[sel], seed.ftype[sel], seed.grad[sel],
             T_cr_k, gather(1.0 / mu_safe), gather(d_min), gather(d_max),
             elig_c)
         matched_k = succ_c & elig_c
-        failed_k = elig_c & ~succ_c
+        # deferred (two-tier long budget) seeds get no outlier evidence
+        failed_k = elig_c & ~succ_c & scanned_c
 
         # failed match: outlier evidence b += 1 (:243-247)
         b_base = jnp.where(failed_k, b_k0 + 1.0, b_k0)
@@ -410,12 +416,12 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
         return SeedFieldUpdate(active_out, mu_out, sigma2_out, a_out,
                                b_out, converged, p_w, stats)
 
-    _, depth_ref, succ = _gated_match(
+    _, depth_ref, succ, scanned = _gated_match(
         seed.px, seed.f, seed.level, seed.tile, seed.tile_xy0,
         seed.ftype, seed.grad, T_cur_ref, 1.0 / mu_safe, d_min, d_max,
         eligible)
     matched = eligible & succ
-    failed_search = eligible & ~succ
+    failed_search = eligible & ~succ & scanned
 
     # --- failed match: outlier evidence b += 1 (:243-247)
     b_new = jnp.where(failed_search, seed.b + 1.0, seed.b)

@@ -262,7 +262,8 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
                 mm, flat, T_out, cam, max_n_kfs=cfg.df_max_kf_age,
                 conv_thresh=cfg.seed_convergence_sigma2_thresh,
                 max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k,
-                cur_pad=pad, enable=True)
+                cur_pad=pad, enable=True,
+                short_steps=cfg.epi_short_steps, long_k=cfg.epi_long_k)
 
         if cfg.df_update_every > 1:
             upd = jax.lax.cond(

@@ -446,7 +446,9 @@ class FrameHandler:
                     conv_thresh=cfg.seed_convergence_sigma2_thresh,
                     max_steps=cfg.epi_max_steps,
                     update_k=cfg.df_update_k,
-                    cur_pad=frame.pad)
+                    cur_pad=frame.pad,
+                    short_steps=cfg.epi_short_steps,
+                    long_k=cfg.epi_long_k)
                 info["n_seeds"] = int(stats.n_seeds)
             return RESULT_NO_KEYFRAME, frame, info
 
@@ -500,7 +502,9 @@ class FrameHandler:
             conv_thresh=cfg.seed_convergence_sigma2_thresh,
             max_steps=cfg.epi_max_steps,
             update_k=cfg.df_update_k,
-            cur_pad=frame.pad)
+            cur_pad=frame.pad,
+            short_steps=cfg.epi_short_steps,
+            long_k=cfg.epi_long_k)
         occupied = jnp.zeros((self.n_cells,), bool).at[
             cell_index(frame.feat_px, cfg.grid_size, self.ncx,
                        self.ncy)].max(frame.feat_valid)

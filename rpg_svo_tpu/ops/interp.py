@@ -147,18 +147,11 @@ class FlatPyramid:
         return jnp.where(valid, top * (1.0 - wy) + bot * wy, fill), valid
 
 
-    def cast(self, dtype) -> "FlatPyramid":
-        """View of this pyramid with the flat buffer cast to `dtype`
-        (one dense convert; gathers then move half/quarter the bytes)."""
-        obj = FlatPyramid.__new__(FlatPyramid)
-        obj.n_levels = self.n_levels
-        obj.shapes = self.shapes
-        obj._offsets = self._offsets
-        obj._widths = self._widths
-        obj._heights = self._heights
-        obj._strides = self._strides
-        obj.flat = self.flat.astype(dtype)
-        return obj
+    # NOTE: a bf16/u8 copy of the pyramid for the scan gathers was tried
+    # and removed: the TPU scattered gather is per-ELEMENT latency-bound
+    # (~9-10 ns/elem regardless of dtype; tools_gather_bench.py), so
+    # narrower elements save nothing.  Only fewer samples or Pallas
+    # aligned loads reduce gather cost.
 
     def nearest(self, level: jnp.ndarray, xy: jnp.ndarray,
                 fill: float = 0.0):

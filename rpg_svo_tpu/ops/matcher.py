@@ -181,6 +181,11 @@ class EpipolarMatch(NamedTuple):
     depth_ref: jnp.ndarray   # (N,) triangulated depth along f_ref
     level_cur: jnp.ndarray   # (N,) search level used
     success: jnp.ndarray     # (N,) bool
+    # False only for long-segment items beyond the two-tier long budget
+    # (epi_long_k): they were not scanned this call and must not receive
+    # failure evidence (the reference's mapping thread similarly defers
+    # seeds it has no time for, depth_filter.cpp:197-213)
+    scanned: jnp.ndarray     # (N,) bool
 
 
 class EpipolarGeom(NamedTuple):
@@ -257,7 +262,8 @@ def warp_patches_rotated(A_level0: jnp.ndarray, ref_pyr,
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "n_iter",
-                                             "max_level", "align_1d"))
+                                             "max_level", "align_1d",
+                                             "short_steps", "long_k"))
 def epipolar_match(cur_pyr: FlatPyramid,
                    ref_pyr: FlatPyramid,
                    cam,
@@ -274,7 +280,9 @@ def epipolar_match(cur_pyr: FlatPyramid,
                    max_level: int = 4,
                    ftr_type: jnp.ndarray | None = None,  # (N,) FEATURE_*
                    ftr_grad: jnp.ndarray | None = None,  # (N, 2)
-                   align_1d: bool = False) -> EpipolarMatch:
+                   align_1d: bool = False,
+                   short_steps: int = 0,
+                   long_k: int = 0) -> EpipolarMatch:
     """Batched epipolar ZMSSD search + subpixel refinement + triangulation.
 
     Compatibility wrapper sampling ref patches from a pyramid; the fused
@@ -294,7 +302,42 @@ def epipolar_match(cur_pyr: FlatPyramid,
                            ref_patch_border, ref_rot, ref_ok & rot_ok,
                            valid, max_steps=max_steps, n_iter=n_iter,
                            ftr_type=ftr_type, ftr_grad=ftr_grad,
-                           align_1d=align_1d)
+                           align_1d=align_1d, short_steps=short_steps,
+                           long_k=long_k)
+
+
+def _strip_scan(cur_pyr: FlatPyramid, pxA: jnp.ndarray,
+                dir_lvl: jnp.ndarray, search_level: jnp.ndarray,
+                n_steps: jnp.ndarray, ref_rot: jnp.ndarray,
+                steps: int):
+    """ZMSSD over `steps` 1-px windows along the epipolar line.
+
+    ONE rotated strip of (steps+8) x 8 nearest samples is gathered along
+    the line and every scan window becomes a static slice of the strip
+    (im2col); the ZMSSD over all windows is dense VPU math.  Returns
+    (best_score (N,), best_step (N,)) with inf score where no window in
+    [0, min(n_steps, steps)) was fully inside the level."""
+    nrm = jnp.stack([-dir_lvl[:, 1], dir_lvl[:, 0]], axis=-1)
+    cs = jnp.arange(steps + PATCH, dtype=jnp.float32) - HALFPATCH
+    rs = jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH
+    coords = (pxA[:, None, None, :]
+              + cs[None, :, None, None] * dir_lvl[:, None, None, :]
+              + rs[None, None, :, None] * nrm[:, None, None, :])
+    # nearest-neighbor: 1 gather/sample (reference scans integer pixels
+    # too); align2d afterwards recovers the subpixel position
+    strip, strip_ok = cur_pyr.nearest(
+        search_level[:, None, None], coords)              # (N, S+8, 8)
+    # windows: W[s] = strip[s : s+8, :] -> (N, S, 64), static slices
+    wins = jnp.stack([strip[:, u: u + steps, :]
+                      for u in range(PATCH)], axis=2)     # (N, S, 8, 8)
+    wins = wins.reshape(wins.shape[0], steps, PATCH * PATCH)
+    wok = jnp.stack([strip_ok[:, u: u + steps, :]
+                     for u in range(PATCH)], axis=2)
+    wok = jnp.all(wok.reshape(wok.shape[0], steps, -1), axis=-1)
+    sc = zmssd(ref_rot[:, None, :], wins)                 # (N, S)
+    step_ids = jnp.arange(steps, dtype=jnp.int32)[None, :]
+    sc = jnp.where((step_ids < n_steps[:, None]) & wok, sc, jnp.inf)
+    return jnp.min(sc, axis=1), jnp.argmin(sc, axis=1).astype(jnp.int32)
 
 
 def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
@@ -308,7 +351,9 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
                     ftr_type: jnp.ndarray | None = None,
                     ftr_grad: jnp.ndarray | None = None,
                     align_1d: bool = False,
-                    cur_pad=None) -> EpipolarMatch:
+                    cur_pad=None,
+                    short_steps: int = 0,
+                    long_k: int = 0) -> EpipolarMatch:
     """ZMSSD scan along the epipolar segment + align2d + triangulation.
 
     cur_pad: optional PaddedPyramid of the current frame — routes the
@@ -328,6 +373,8 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
     dir_lvl = geom.dir_lvl
     search_level = geom.search_level
     n_steps = geom.n_steps
+    N = pxA.shape[0]
+    scanned = jnp.ones((N,), bool)
 
     from rpg_svo_tpu.ops.pallas_scan import (epipolar_scan,
                                               axis_scan_enabled)
@@ -339,39 +386,33 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
         best_score, bi = epipolar_scan(
             cur_pad, search_level, pxA, dir_lvl, n_steps,
             _inner_patch(ref_patch_border), max_steps)
+    elif short_steps and short_steps < max_steps:
+        # Two-tier scan: the strip gather is per-element latency-bound
+        # (~9 ns/sample scattered-gather floor), so its cost is set by
+        # TOTAL samples.  Most mature seeds scan only a few px — they get
+        # a short (short_steps+8) x 8 strip in place; the few long
+        # segments are compacted to `long_k` slots and scanned at full
+        # width.  Longs beyond the budget are deferred (scanned=False).
+        from rpg_svo_tpu.core.map import mask_compact
+        is_short = n_steps <= short_steps
+        sc_s, bi_s = _strip_scan(cur_pyr, pxA, dir_lvl, search_level,
+                                 n_steps, ref_rot, short_steps)
+        kl = min(long_k or N, N)
+        sel, okl = mask_compact((~is_short) & valid & ref_ok, kl)
+        sc_lc, bi_lc = _strip_scan(
+            cur_pyr, pxA[sel], dir_lvl[sel], search_level[sel],
+            jnp.where(okl, n_steps[sel], 0), ref_rot[sel], max_steps)
+        tgt = jnp.where(okl, sel, N)     # padding rows -> dropped slot
+        sc_l = jnp.full((N + 1,), jnp.inf).at[tgt].set(
+            jnp.where(okl, sc_lc, jnp.inf))[:N]
+        bi_l = jnp.zeros((N + 1,), jnp.int32).at[tgt].set(bi_lc)[:N]
+        long_done = jnp.zeros((N + 1,), bool).at[tgt].set(okl)[:N]
+        best_score = jnp.where(is_short, sc_s, sc_l)
+        bi = jnp.where(is_short, bi_s, bi_l)
+        scanned = is_short | long_done
     else:
-        # XLA strip scan: ONE rotated strip of (max_steps+8) x 8 samples;
-        # every window is a static slice (im2col), ZMSSD is dense math
-        nrm = jnp.stack([-dir_lvl[:, 1], dir_lvl[:, 0]], axis=-1)
-        cs = jnp.arange(max_steps + PATCH, dtype=jnp.float32) - HALFPATCH
-        rs = jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH
-        coords = (pxA[:, None, None, :]
-                  + cs[None, :, None, None] * dir_lvl[:, None, None, :]
-                  + rs[None, None, :, None] * nrm[:, None, None, :])
-        # nearest-neighbor: 1 gather/sample (reference scans integer
-        # pixels too); align2d below recovers the subpixel position.
-        # SVO_SCAN_BF16=1: gather from a bf16 copy of the pyramid (half
-        # the gathered bytes; scores still accumulate in f32)
-        import os
-        src = cur_pyr.cast(jnp.bfloat16) \
-            if os.environ.get("SVO_SCAN_BF16") == "1" else cur_pyr
-        strip, strip_ok = src.nearest(
-            search_level[:, None, None], coords)          # (N, S+8, 8)
-        strip = strip.astype(jnp.float32)
-
-        # windows: W[s] = strip[s : s+8, :] -> (N, S, 64), static slices
-        wins = jnp.stack([strip[:, u: u + max_steps, :]
-                          for u in range(PATCH)], axis=2)  # (N, S, 8, 8)
-        wins = wins.reshape(wins.shape[0], max_steps, PATCH * PATCH)
-        wok = jnp.stack([strip_ok[:, u: u + max_steps, :]
-                         for u in range(PATCH)], axis=2)
-        wok = jnp.all(wok.reshape(wok.shape[0], max_steps, -1), axis=-1)
-
-        sc = zmssd(ref_rot[:, None, :], wins)              # (N, S)
-        step_ids = jnp.arange(max_steps, dtype=jnp.int32)[None, :]
-        sc = jnp.where((step_ids < n_steps[:, None]) & wok, sc, jnp.inf)
-        best_score = jnp.min(sc, axis=1)
-        bi = jnp.argmin(sc, axis=1)
+        best_score, bi = _strip_scan(cur_pyr, pxA, dir_lvl, search_level,
+                                     n_steps, ref_rot, max_steps)
     best_px = pxA + bi[:, None].astype(jnp.float32) * dir_lvl
 
     found = jnp.isfinite(best_score) & valid & ref_ok
@@ -407,7 +448,7 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
     f_cur = cam.cam2world(px0)
     d_ref, d_cur, tri_ok = depth_from_triangulation(T_cur_ref, f_ref, f_cur)
     success = conv & found & tri_ok & (d_ref > 0)
-    return EpipolarMatch(px0, d_ref, search_level, success)
+    return EpipolarMatch(px0, d_ref, search_level, success, scanned)
 
 
 class DirectMatch(NamedTuple):

@@ -107,3 +107,27 @@ def test_epipolar_match_rejects_bad_range(two_frames):
         # matches found in a wrong range should be rare or inaccurate;
         # the key invariant: far fewer successes than the correct range
         assert ok.sum() < 0.5 * np.asarray(valid).sum()
+
+
+def test_epipolar_two_tier_matches_single_tier(two_frames):
+    """With a long budget covering every long segment, the two-tier scan
+    (short strip in place + compacted full-width longs) must reproduce
+    the single-tier scan exactly: same matches, same depths."""
+    ds, p0, p1, T_cur_ref, px, f, lvl, d, valid = two_frames
+    kw = dict(d_estimate=d * 1.1, d_min=d * 0.7, d_max=d * 1.4,
+              valid=valid)
+    ref = epipolar_match(p1, p0, ds.cam, T_cur_ref, px, f, lvl, **kw)
+    two = epipolar_match(p1, p0, ds.cam, T_cur_ref, px, f, lvl,
+                         short_steps=24, long_k=px.shape[0], **kw)
+    assert bool(jnp.all(two.scanned))
+    assert np.array_equal(np.asarray(ref.success), np.asarray(two.success))
+    ok = np.asarray(ref.success)
+    assert np.allclose(np.asarray(ref.px_cur)[ok],
+                       np.asarray(two.px_cur)[ok])
+    assert np.allclose(np.asarray(ref.depth_ref)[ok],
+                       np.asarray(two.depth_ref)[ok])
+    # tiny long budget: unscanned longs are flagged, not failed
+    small = epipolar_match(p1, p0, ds.cam, T_cur_ref, px, f, lvl,
+                           short_steps=8, long_k=8, **kw)
+    unscanned = ~np.asarray(small.scanned)
+    assert not np.asarray(small.success)[unscanned].any()
