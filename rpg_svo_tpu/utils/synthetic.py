@@ -130,6 +130,118 @@ def render_frame(cam: PinholeCamera, tex: Texture, T_w_c: SE3,
     return img, depth
 
 
+@dataclasses.dataclass(frozen=True)
+class SineSurface:
+    """Sinusoidal height field z = amp * sin(kx*x + p0) * sin(ky*y + p1).
+
+    Faithful proxy for the reference's `sin2_tex2_h1_v8_d` Blender scene
+    (textured sinusoidal surface under a down-looking camera;
+    svo/test/README.md, svo/test/test_utils.h:30-51): depth varies
+    per-pixel and per-ray, so warps are genuinely affine and the depth
+    filter sees a non-constant field — unlike the flat z=0 plane.
+
+    Slope bound: max |grad h| = amp * k.  Rays converge to a UNIQUE
+    surface hit when slope * tan(max half-FOV) < 1; the defaults give
+    0.31 * 1.19 = 0.37 for the reference test camera.  Epipolar-match
+    accuracy on any such scene is limited by the affine-warp
+    approximation (constant-depth patch model, the same one the
+    reference uses, svo/src/matcher.cpp:33-55), so the achievable
+    error scales with surface slope — measured here: p50 depth error
+    0.033 (x100 m) at slope 0, 0.12 at slope 0.31, 0.24 at slope 0.63
+    for the reference matcher-test pose pair.
+    """
+    amp: float = 0.2
+    kx: float = 2.0 * np.pi / 4.0      # wavelength 4 m
+    ky: float = 2.0 * np.pi / 4.0
+    p0: float = 0.37
+    p1: float = 1.13
+
+    def height(self, xy: jnp.ndarray) -> jnp.ndarray:
+        return self.amp * jnp.sin(self.kx * xy[..., 0] + self.p0) \
+            * jnp.sin(self.ky * xy[..., 1] + self.p1)
+
+
+def render_surface_frame(cam, tex: Texture, surf: SineSurface, T_w_c: SE3,
+                         shape: Tuple[int, int] = (480, 752),
+                         n_bisect: int = 40):
+    """Render (image, depth) of the textured height field.
+
+    Ray-surface intersection by bisection on the ray parameter t of
+    g(t) = z(t) - h(x(t), y(t)), bracketed by the planes z = +/-amp.
+    g is monotone under the slope bound above, so the root is unique and
+    40 bisections reach float32 precision.  depth = t along the UNIT
+    bearing ray (reference convention, svo/src/matcher.cpp:160).
+    """
+    H, W = shape
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+    f = cam.cam2world(grid)                      # (H, W, 3) unit bearings
+    d_w = T_w_c.rotate(f)
+    c = T_w_c.t
+    dz = d_w[..., 2]
+    dz_safe = jnp.where(jnp.abs(dz) < 1e-6, -1e-6, dz)
+    down = dz < -1e-6
+    # bracket: t at z = +amp (above every surface point) .. z = -amp
+    t_lo = (surf.amp - c[2]) / dz_safe
+    t_hi = (-surf.amp - c[2]) / dz_safe
+    t_lo = jnp.maximum(t_lo, 0.0)
+
+    def g(t):
+        p = c[None, None, :] + t[..., None] * d_w
+        return p[..., 2] - surf.height(p[..., :2])
+
+    lo, hi = t_lo, t_hi
+    for _ in range(n_bisect):          # unrolled: tiny fixed trip count
+        mid = 0.5 * (lo + hi)
+        below = g(mid) < 0.0           # past the surface
+        hi = jnp.where(below, mid, hi)
+        lo = jnp.where(below, lo, mid)
+    depth = 0.5 * (lo + hi)
+    depth = jnp.where(down & (depth > 0), depth, jnp.inf)
+    pw = c[None, None, :] + depth[..., None] * d_w
+    img = tex.eval(pw[..., :2])
+    img = jnp.where(jnp.isfinite(depth), img, 0.0)
+    return img, depth
+
+
+class SurfaceDataset:
+    """Rendered sequence over the sinusoidal surface with ground truth.
+
+    Mirrors the reference test protocol's scene role: 752x480 frames,
+    Pinhole(315.5, 315.5, 376, 240), down-looking camera ~2 m above a
+    textured sinusoidal surface, lateral sweep (the test poses in
+    svo/test/test_matcher.cpp:52-57 move ~0.45 m in x/y at z = 2)."""
+
+    def __init__(self, n_frames: int = 20, seed: int = 0,
+                 shape: Tuple[int, int] = (480, 752),
+                 height: float = 2.0, step: float = 0.03,
+                 surf: SineSurface | None = None):
+        self.cam = reference_test_camera(shape[1], shape[0])
+        self.tex = Texture.make(seed=seed)
+        self.surf = surf if surf is not None else SineSurface()
+        self.shape = shape
+        # diagonal sweep like the reference matcher-test pose pair, with
+        # mild attitude wobble so rotation is exercised too
+        self.poses = [
+            look_down_pose(0.1131 + step * i, 0.1131 + step * 0.97 * i,
+                           height,
+                           yaw=0.02 * np.sin(0.4 * i),
+                           pitch=0.01 * np.sin(0.3 * i),
+                           roll=0.01 * np.cos(0.5 * i))
+            for i in range(n_frames)]
+        self._render = jax.jit(lambda T: render_surface_frame(
+            self.cam, self.tex, self.surf, T, shape))
+
+    def __len__(self):
+        return len(self.poses)
+
+    def frame(self, i: int):
+        """Returns (img, depth, T_w_c)."""
+        img, depth = self._render(self.poses[i])
+        return img, depth, self.poses[i]
+
+
 class SyntheticDataset:
     """Sequence of rendered frames with ground truth, dict-of-arrays style."""
 

@@ -1,0 +1,219 @@
+"""Reference-protocol accuracy harness on the sinusoidal-surface scene.
+
+Reproduces the reference's two golden-value test protocols (which run on
+the sin2_tex2_h1_v8_d Blender dataset — unreachable from here, so the
+scene is the faithful `SurfaceDataset` proxy: textured sinusoidal height
+field, non-planar depth) and prints the same stat blocks side by side
+with the reference's embedded goldens:
+
+1. Full-image epipolar sweep — every interior pixel of the ref frame is
+   matched epipolarly into the cur frame with d_est = GT depth and a
+   +/-0.8 m search range (svo/test/test_matcher.cpp:84-127; goldens
+   216114 converged, mean 0.4101, p50 0.0832, p80 0.1618, p95 0.2635,
+   all x100 of meters).
+2. Depth-filter 20-frame convergence — seeds detected on frame 0
+   (depth_mean=2, depth_min=0.5), updated over 19 GT-posed frames;
+   converged-seed depth error vs GT depth at the seed pixel
+   (svo/test/test_depth_filter.cpp:94-155; goldens 287 converged,
+   mean 0.0804 cm, p50 0.0620, p80 0.1245, p95 0.2004).
+
+Appends the results table to PARITY.md (--write-md).
+Runs on CPU: this is an accuracy protocol, not a throughput bench.
+"""
+
+import argparse
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from rpg_svo_tpu.utils.synthetic import SurfaceDataset, look_down_pose
+
+
+def stat_block(errs_m: np.ndarray, scale: float = 100.0):
+    e = np.sort(errs_m) * scale
+    n = len(e)
+    return {
+        "n": n,
+        "mean": float(e.mean()) if n else float("nan"),
+        "p50": float(e[int(0.5 * n)]) if n else float("nan"),
+        "p80": float(e[int(0.8 * n)]) if n else float("nan"),
+        "p95": float(e[min(int(0.95 * n), n - 1)]) if n else float("nan"),
+    }
+
+
+def run_matcher_sweep(stride: int = 1, chunk: int = 8192):
+    """Protocol 1: full-image epipolar sweep (test_matcher.cpp:84-127).
+
+    Pose pair mirrors the reference fixture: ref at (0.1131, 0.1131, 2.0),
+    cur at (0.5673, 0.5641, 2.0), both down-looking (test_matcher.cpp:
+    52-57), depth search range +/-0.8 m around GT.
+    """
+    from rpg_svo_tpu.ops.pyramid import build_pyramid
+    from rpg_svo_tpu.ops.interp import FlatPyramid
+    from rpg_svo_tpu.ops.matcher import epipolar_match
+
+    ds = SurfaceDataset(n_frames=2)
+    T_ref = look_down_pose(0.1131, 0.1131, 2.0)
+    T_cur = look_down_pose(0.5673, 0.5641, 2.0, yaw=0.004)
+    img_ref, depth_ref = ds._render(T_ref)
+    img_cur, _ = ds._render(T_cur)
+    H, W = ds.shape
+    ref_pyr = FlatPyramid(build_pyramid(img_ref, 5))
+    cur_pyr = FlatPyramid(build_pyramid(img_cur, 5))
+    T_cur_ref = T_cur.inverse() * T_ref
+
+    ys, xs = np.mgrid[4:H - 4:stride, 4:W - 4:stride]
+    px_all = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
+    gt_all = np.asarray(depth_ref)[ys.ravel(), xs.ravel()]
+    N = len(px_all)
+
+    match_fn = jax.jit(lambda px, f, d_est, d_min, d_max: epipolar_match(
+        cur_pyr, ref_pyr, ds.cam, T_cur_ref, px, f,
+        jnp.zeros((px.shape[0],), jnp.int32), d_est, d_min, d_max,
+        jnp.ones((px.shape[0],), bool)))
+
+    n_conv = 0
+    errors = []
+    for lo in range(0, N, chunk):
+        px = jnp.asarray(px_all[lo:lo + chunk])
+        gt = jnp.asarray(gt_all[lo:lo + chunk])
+        pad = chunk - px.shape[0]
+        if pad:
+            px = jnp.concatenate([px, jnp.full((pad, 2), 100.0)])
+            gt = jnp.concatenate([gt, jnp.ones((pad,))])
+        f = ds.cam.cam2world(px)
+        res = match_fn(px, f, gt, jnp.maximum(gt - 0.8, 0.1), gt + 0.8)
+        ok = np.asarray(res.success)
+        d = np.asarray(res.depth_ref)
+        if pad:
+            ok, d = ok[:chunk - pad], d[:chunk - pad]
+        err = np.abs(d - gt_all[lo:lo + chunk])
+        n_conv += int(ok.sum())
+        errors.append(err[ok])
+    errors = np.concatenate(errors)
+    st = stat_block(errors)
+    st["n_total"] = N
+    return st
+
+
+def run_depth_filter(n_frames: int = 20, step: float = 0.03):
+    """Protocol 2: depth-filter convergence (test_depth_filter.cpp:94-155).
+
+    Frame 0 is the (only) keyframe: FAST-detect -> seeds with
+    depth_mean=2, depth_min=0.5 exactly like the reference fixture's
+    addKeyframe(frame, 2, 0.5); frames 1..19 update all seeds.  The
+    converged-seed error is |depth_in_kf0 - gt_depth_at_px|.
+    """
+    from rpg_svo_tpu.core.map import init_map, add_keyframe, TYPE_CANDIDATE
+    from rpg_svo_tpu.core import depth_filter as df
+    from rpg_svo_tpu.ops.pyramid import build_pyramid
+    from rpg_svo_tpu.ops.interp import FlatPyramid
+    from rpg_svo_tpu.ops.detector import grid_dims
+
+    ds = SurfaceDataset(n_frames=n_frames, step=step)
+    img0, depth0, T0 = ds.frame(0)
+    pyr0 = build_pyramid(img0, 5)
+    fp0 = FlatPyramid(pyr0)
+    m = init_map(n_kfs=8, n_feats=512, n_points=4096, n_obs=8,
+                 n_seeds=2048, flat_len=fp0.flat.shape[0])
+    F = m.kf.feat_px.shape[1]
+    m, slot = add_keyframe(
+        m, fp0.flat, T0.inverse(), jnp.int32(0),
+        jnp.zeros((F, 2)), jnp.tile(jnp.array([0.0, 0.0, 1.0]), (F, 1)),
+        jnp.zeros((F,), jnp.int32), jnp.full((F,), -1, jnp.int32),
+        jnp.zeros((F,), bool), jnp.ones((F,)))
+    ncx, ncy = grid_dims(ds.shape[1], ds.shape[0], 25)
+    # reference fixture: depth_filter_->addKeyframe(frame_ref_, 2, 0.5)
+    m = df.init_seeds(m, slot, pyr0, ds.cam, jnp.zeros((ncx * ncy,), bool),
+                      jnp.float32(2.0), jnp.float32(0.5), cell_size=25)
+    n_seeds0 = int(m.seed.active.sum())
+
+    n_conv_per_frame = []
+    for i in range(1, n_frames):
+        img, _, T = ds.frame(i)
+        fp = FlatPyramid(build_pyramid(img, 5))
+        m, stats = df.update_seeds(m, fp, T.inverse(), ds.cam)
+        n_conv_per_frame.append(int(stats.n_converged))
+
+    conv = np.asarray(m.pt.ptype) == TYPE_CANDIDATE
+    p_w = np.asarray(m.pt.pos)[conv]
+    T0i = T0.inverse()
+    d_est = np.linalg.norm(np.asarray(T0i.apply(jnp.asarray(p_w))), axis=-1)
+    px = np.asarray(m.pt.orig_px)[conv]
+    d_gt = np.asarray(depth0)[px[:, 1].astype(int), px[:, 0].astype(int)]
+    st = stat_block(np.abs(d_est - d_gt))
+    st["n_seeds0"] = n_seeds0
+    st["per_frame"] = n_conv_per_frame
+    return st
+
+
+REF_MATCHER = {"n": 216114, "mean": 0.410084, "p50": 0.083203,
+               "p80": 0.161824, "p95": 0.263539}
+REF_DF = {"n": 287, "mean": 0.080357, "p50": 0.062042,
+          "p80": 0.124526, "p95": 0.200417}
+
+
+def fmt(name, ours, ref):
+    lines = [f"### {name}", "",
+             "| stat | ours (sinusoidal proxy) | reference golden "
+             "(sin2_tex2_h1_v8_d) |", "|---|---|---|"]
+    for k, label in [("n", "converged"), ("mean", "mean err ×100 m"),
+                     ("p50", "p50"), ("p80", "p80"), ("p95", "p95")]:
+        o = ours[k]
+        o = f"{o}" if k == "n" else f"{o:.4f}"
+        lines.append(f"| {label} | {o} | {ref[k]} |")
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stride", type=int, default=1,
+                    help="pixel stride for the matcher sweep")
+    ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--skip-matcher", action="store_true")
+    ap.add_argument("--skip-df", action="store_true")
+    args = ap.parse_args()
+
+    out = []
+    if not args.skip_matcher:
+        st = run_matcher_sweep(stride=args.stride)
+        print(f"# epipolar sweep: {st['n']}/{st['n_total']} converged "
+              f"(ref: {REF_MATCHER['n']}/351168)", flush=True)
+        print(f"mean error:    {st['mean']:.6f} (ref: 0.410084)")
+        print(f"50-percentile: {st['p50']:.6f} (ref: 0.083203)")
+        print(f"80-percentile: {st['p80']:.6f} (ref: 0.161824)")
+        print(f"95-percentile: {st['p95']:.6f} (ref: 0.263539)")
+        out.append(fmt("Full-image epipolar sweep "
+                       "(test_matcher.cpp:117-127 protocol)",
+                       st, REF_MATCHER))
+    if not args.skip_df:
+        st = run_depth_filter()
+        print(f"# depth filter: {st['n']} converged of {st['n_seeds0']} "
+              f"seeds (ref: 287)", flush=True)
+        print(f"mean error:    {st['mean']:.6f} cm (ref: 0.080357)")
+        print(f"50-percentile: {st['p50']:.6f} cm (ref: 0.062042)")
+        print(f"80-percentile: {st['p80']:.6f} cm (ref: 0.124526)")
+        print(f"95-percentile: {st['p95']:.6f} cm (ref: 0.200417)")
+        out.append(fmt("Depth-filter 20-frame convergence "
+                       "(test_depth_filter.cpp:143-155 protocol)",
+                       st, REF_DF))
+
+    if args.write_md and out:
+        hdr = ("\n## Reference golden-protocol parity (sinusoidal surface)"
+               "\n\nProduced by `python tools_parity.py --write-md` — the "
+               "reference's two golden-value test protocols reproduced on "
+               "the hermetic sinusoidal-height proxy scene "
+               "(`utils/synthetic.py::SurfaceDataset`; the original "
+               "Blender dataset is not downloadable here).\n\n")
+        with open("PARITY.md", "a") as f:
+            f.write(hdr + "\n\n".join(out) + "\n")
+        print("# appended to PARITY.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
