@@ -24,8 +24,13 @@ class Config:
     trace_dir: str = "/tmp"
 
     # --- pyramid / detection ---
-    n_pyr_levels: int = 5           # pyramid levels built per frame (ref builds
-                                    # max(n_pyr_levels, klt_max_level+1)=5)
+    # Detection / matching pyramid depth (ref default 3, config.cpp:28):
+    # FAST corners and depth-filter seeds live on levels [0, n_pyr_levels);
+    # the matcher's best_search_level is capped at n_pyr_levels-1
+    # (matcher.cpp:152,214).  The pyramid itself is built
+    # max(n_pyr_levels, klt_max_level+1) = 5 levels deep for the
+    # coarse-to-fine alignment (frame.cpp:58) — see n_levels_total.
+    n_pyr_levels: int = 3
     grid_size: int = 25             # detector/reprojector cell size in px
     triang_min_corner_score: float = 20.0  # min Shi-Tomasi score for a new seed
 
@@ -106,6 +111,14 @@ class Config:
     # --- misc ---
     use_imu: bool = False
     img_imu_delay: float = 0.0
+
+    # --- mesh sharding (TPU addition) ---
+    # Name of the mesh axis over which the fused step's batched internals
+    # (depth-filter K-domain epipolar scan, local-BA point blocks) are
+    # GSPMD-sharded via with_sharding_constraint (parallel/gspmd.py).
+    # "" = single-chip program, no constraints.  Callers must wrap the
+    # step in `with jax.set_mesh(mesh)`; see parallel/fused_mesh.py.
+    shard_axis: str = ""
 
     # --- debug/measurement only ---
     # Stage names stubbed out of the fused step at trace time; used by

@@ -105,18 +105,19 @@ def compute_tau(T_ref_cur_t: jnp.ndarray, f: jnp.ndarray, z: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cell_size", "min_score",
-                                             "n_levels"))
+                                             "n_levels", "det_levels"))
 def init_seeds(m: MapState, kf_slot: jnp.ndarray,
                pyramid: Tuple[jnp.ndarray, ...],
                cam, occupied: jnp.ndarray,
                depth_mean: jnp.ndarray, depth_min: jnp.ndarray,
                cell_size: int, min_score: float = 20.0,
-               n_levels: int = 5) -> MapState:
+               n_levels: int = 5, det_levels: int = 3) -> MapState:
     """DepthFilter::initializeSeeds: FAST-detect on the new keyframe,
     avoiding occupied cells, one seed per new corner.
 
+    Detection runs on the first `det_levels` levels (ref n_pyr_levels=3).
     Increments the keyframe batch counter (Seed::batch_counter)."""
-    det = detect_features(pyramid, occupied, cell_size)
+    det = detect_features(pyramid[:det_levels], occupied, cell_size)
     tile, tile_xy0 = extract_tiles(FlatPyramid(pyramid), det["px"],
                                    det["level"])
     det = dict(det, tile=tile, tile_xy0=tile_xy0)
@@ -230,18 +231,21 @@ def apply_seed_update(m: MapState, upd: SeedFieldUpdate) -> MapState:
 
 @functools.partial(jax.jit, static_argnames=("max_n_kfs", "conv_thresh",
                                              "max_steps", "update_k",
-                                             "short_steps", "long_k"))
+                                             "short_steps", "long_k",
+                                             "max_level"))
 def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
                  max_n_kfs: int = 3, conv_thresh: float = 200.0,
                  max_steps: int = 256, update_k: int = 0,
                  cur_pad=None, short_steps: int = 0,
-                 long_k: int = 0) -> Tuple[MapState, SeedUpdateStats]:
+                 long_k: int = 0,
+                 max_level: int = 2) -> Tuple[MapState, SeedUpdateStats]:
     """One batched update of ALL active seeds against the current frame
     (field computation + write-back/allocation in one call)."""
     upd = update_seeds_fields(
         m, cur_pyr, T_cur_w, cam, max_n_kfs=max_n_kfs,
         conv_thresh=conv_thresh, max_steps=max_steps, update_k=update_k,
-        cur_pad=cur_pad, short_steps=short_steps, long_k=long_k)
+        cur_pad=cur_pad, short_steps=short_steps, long_k=long_k,
+        max_level=max_level)
     return apply_seed_update(m, upd), upd.stats
 
 
@@ -251,8 +255,9 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
                         max_steps: int = 256, update_k: int = 0,
                         cur_pad=None,
                         enable: jnp.ndarray | bool = True,
-                        short_steps: int = 0, long_k: int = 0
-                        ) -> SeedFieldUpdate:
+                        short_steps: int = 0, long_k: int = 0,
+                        max_level: int = 2,
+                        shard_axis: str = "") -> SeedFieldUpdate:
     """One batched update of ALL active seeds against the current frame.
 
     `update_k > 0` compacts the eligible seeds to at most that many before
@@ -298,7 +303,8 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
         """Epipolar match with ref patches from the seeds' creation-time
         tiles — no keyframe-pyramid reads (see ops/patches.py)."""
         geom = epipolar_geometry(cam, T_cr, px, f, level, d_est, dmin,
-                                 dmax, max_steps=max_steps)
+                                 dmax, max_steps=max_steps,
+                                 max_level=max_level)
         ref_b, okb = warp_affine_patches_tiles(
             geom.A, tile, tile_xy0, px, level, geom.search_level)
         from rpg_svo_tpu.ops.pallas_scan import axis_scan_enabled
@@ -353,6 +359,14 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
         # over the full pool except the cheap eligibility masks.
         K = update_k
         sel, elig_c = mask_compact(eligible, K)
+        if shard_axis:
+            # mesh mode: the whole K-domain match + update below is
+            # sharded over the seed-parallel axis; XLA partitions the
+            # strip gathers (each shard reads the replicated pyramid)
+            # and all-gathers the K-sized outputs for the scatter-back
+            from rpg_svo_tpu.parallel.gspmd import shard_dim0
+            sel = shard_dim0(sel, shard_axis)
+            elig_c = shard_dim0(elig_c, shard_axis)
         gather = lambda a: a[sel]
         T_cr_k = jax.tree.map(gather, T_cur_ref)
         f_k = seed.f[sel]

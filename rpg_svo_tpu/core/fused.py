@@ -178,8 +178,8 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
             n_trials=jnp.int32(0))
     else:
         pt2, rep = reproject_map(m, flat, T_cur, cam, cfg.grid_size, ncx,
-                                 ncy, max_level=n_levels - 1, cur_pad=pad,
-                                 max_fts=F)
+                                 ncy, max_level=cfg.n_pyr_levels - 1,
+                                 cur_pad=pad, max_fts=F)
         m = svomap.scrub_dead_references(m._replace(pt=pt2))
     enough = rep.n_matches >= cfg.quality_min_fts
 
@@ -263,7 +263,9 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
                 conv_thresh=cfg.seed_convergence_sigma2_thresh,
                 max_steps=cfg.epi_max_steps, update_k=cfg.df_update_k,
                 cur_pad=pad, enable=True,
-                short_steps=cfg.epi_short_steps, long_k=cfg.epi_long_k)
+                short_steps=cfg.epi_short_steps, long_k=cfg.epi_long_k,
+                max_level=cfg.n_pyr_levels - 1,
+                shard_axis=cfg.shard_axis)
 
         if cfg.df_update_every > 1:
             upd = jax.lax.cond(
@@ -316,7 +318,8 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
             mb = run_local_ba(
                 m2, slot, jnp.float32(cfg.loba_robust_huber_width),
                 jnp.float32(cfg.loba_thresh), cam.fx,
-                n_iter=cfg.loba_num_iter, core_n_kfs=cfg.core_n_kfs)
+                n_iter=cfg.loba_num_iter, core_n_kfs=cfg.core_n_kfs,
+                shard_axis=cfg.shard_axis)
             return mb.kf.R, mb.kf.t, mb.pt.pos, mb.pt.ptype, mb.pt.obs_valid
 
         def no_loba(_):
@@ -332,7 +335,11 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
         cell_index(rep.feat_px, cfg.grid_size, ncx, ncy)].max(feat_valid)
 
     def do_detect(_):
-        det = detect_features(pyr, occupied, cfg.grid_size)
+        # detection runs on the first n_pyr_levels levels only (ref:
+        # FastDetector gets Config::nPyrLevels()=3, frame_handler_mono.
+        # cpp:46) — the deeper levels exist for the coarse alignment
+        det = detect_features(pyr[:cfg.n_pyr_levels], occupied,
+                              cfg.grid_size)
         tile, txy0 = extract_tiles(pad,
                                    det["px"], det["level"])
         return (det["px"], det["score"], det["level"], det["valid"],

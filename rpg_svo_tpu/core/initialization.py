@@ -67,7 +67,8 @@ class KltHomographyInit:
         self.ref_pyr = None
 
     def add_first_frame(self, pyr) -> str:
-        det = detect_features(pyr, jnp.zeros((self.n_cells,), bool),
+        det = detect_features(pyr[:self.cfg.n_pyr_levels],
+                              jnp.zeros((self.n_cells,), bool),
                               self.cfg.grid_size)
         n = int(det["valid"].sum())
         if n < 100:

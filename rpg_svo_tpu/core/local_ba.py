@@ -47,11 +47,12 @@ def _extract_observations(m: MapState):
     return obs_cam, obs_f, obs_level, obs_mask
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter", "core_n_kfs"))
+@functools.partial(jax.jit, static_argnames=("n_iter", "core_n_kfs",
+                                             "shard_axis"))
 def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
                  huber_width_px: jnp.ndarray, reproj_thresh_px: jnp.ndarray,
                  fx: jnp.ndarray, n_iter: int = 10,
-                 core_n_kfs: int = 3) -> MapState:
+                 core_n_kfs: int = 3, shard_axis: str = "") -> MapState:
     """Run local BA around `new_kf_slot`; returns the updated map."""
     kf = m.kf
     pt = m.pt
@@ -79,6 +80,18 @@ def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
 
     prob = BAProblem(kf.R, kf.t, variable, pt.pos, p_valid,
                      obs_cam, obs_f, obs_level, obs_mask)
+    if shard_axis:
+        # mesh mode: shard the point blocks of the Schur solve (the P-dim
+        # einsums of ba/schur.py) over the seed/point-parallel axis; the
+        # reduced camera system assembly becomes a psum placed by XLA
+        from rpg_svo_tpu.parallel.gspmd import shard_dim0
+        prob = prob._replace(
+            p_w=shard_dim0(prob.p_w, shard_axis),
+            p_valid=shard_dim0(prob.p_valid, shard_axis),
+            obs_cam=shard_dim0(prob.obs_cam, shard_axis),
+            obs_f=shard_dim0(prob.obs_f, shard_axis),
+            obs_level=shard_dim0(prob.obs_level, shard_axis),
+            obs_mask=shard_dim0(prob.obs_mask, shard_axis))
     res = solve_ba(prob, n_iter=n_iter,
                    huber_width=huber_width_px / fx,
                    reproj_thresh_unitplane=reproj_thresh_px / fx)

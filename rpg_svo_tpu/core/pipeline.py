@@ -185,7 +185,8 @@ class FrameHandler:
         frame = make_frame(img, self.n_levels, self.feat_cap,
                            self.next_id, timestamp, T_f_w)
         self.next_id += 1
-        det = detect_features(frame.pyr, jnp.zeros((self.n_cells,), bool),
+        det = detect_features(frame.pyr[:self.cfg.n_pyr_levels],
+                              jnp.zeros((self.n_cells,), bool),
                               self.cfg.grid_size)
         px = det["px"]
         good = det["valid"]
@@ -223,7 +224,8 @@ class FrameHandler:
         self.map = df.init_seeds(
             self.map, slot, frame.pyr, self.cam, good,
             depth_mean, 0.5 * depth_min, cell_size=self.cfg.grid_size,
-            min_score=self.cfg.triang_min_corner_score)
+            min_score=self.cfg.triang_min_corner_score,
+            det_levels=self.cfg.n_pyr_levels)
         self.last_frame = frame
         self.num_obs_last = int(jnp.sum(good))
         self.stage = STAGE_DEFAULT_FRAME
@@ -343,7 +345,8 @@ class FrameHandler:
         self.map = df.init_seeds(
             self.map, slot1, frame.pyr, self.cam, occupied,
             depth_mean, 0.5 * depth_min, cell_size=self.cfg.grid_size,
-            min_score=self.cfg.triang_min_corner_score)
+            min_score=self.cfg.triang_min_corner_score,
+            det_levels=self.cfg.n_pyr_levels)
         self.num_obs_last = int(jnp.sum(tv.inlier))
         self.initializer.reset()
         self.stage = STAGE_DEFAULT_FRAME
@@ -378,7 +381,7 @@ class FrameHandler:
         pt, rep = reproject_map(
             self.map, frame.flat, T_cur, self.cam,
             cfg.grid_size, self.ncx, self.ncy,
-            max_level=self.n_levels - 1, cur_pad=pad,
+            max_level=cfg.n_pyr_levels - 1, cur_pad=pad,
             max_fts=self.feat_cap)
         self.map = svomap.scrub_dead_references(
             self.map._replace(pt=pt))
@@ -447,6 +450,7 @@ class FrameHandler:
                     max_steps=cfg.epi_max_steps,
                     update_k=cfg.df_update_k,
                     cur_pad=frame.pad,
+                    max_level=cfg.n_pyr_levels - 1,
                     short_steps=cfg.epi_short_steps,
                     long_k=cfg.epi_long_k)
                 info["n_seeds"] = int(stats.n_seeds)
@@ -503,6 +507,7 @@ class FrameHandler:
             max_steps=cfg.epi_max_steps,
             update_k=cfg.df_update_k,
             cur_pad=frame.pad,
+            max_level=cfg.n_pyr_levels - 1,
             short_steps=cfg.epi_short_steps,
             long_k=cfg.epi_long_k)
         occupied = jnp.zeros((self.n_cells,), bool).at[
@@ -511,7 +516,8 @@ class FrameHandler:
         self.map = df.init_seeds(
             self.map, slot, frame.pyr, self.cam, occupied,
             depth_mean, 0.5 * depth_min, cell_size=cfg.grid_size,
-            min_score=cfg.triang_min_corner_score)
+            min_score=cfg.triang_min_corner_score,
+            det_levels=cfg.n_pyr_levels)
         info["n_seeds"] = int(jnp.sum(self.map.seed.active))
 
         # cap the map size (drop the furthest keyframe)

@@ -397,7 +397,11 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
         is_short = n_steps <= short_steps
         sc_s, bi_s = _strip_scan(cur_pyr, pxA, dir_lvl, search_level,
                                  n_steps, ref_rot, short_steps)
-        kl = min(long_k or N, N)
+        # long-tier table rounded UP to a multiple of 128: odd leading
+        # dims (e.g. 96) deterministically fault the TPU worker at
+        # execution (layout/tiling miscompile — same failure mode as the
+        # 120-row feature-table fault; see CLAUDE.md)
+        kl = min(-(-(long_k or N) // 128) * 128, N)
         sel, okl = mask_compact((~is_short) & valid & ref_ok, kl)
         sc_lc, bi_lc = _strip_scan(
             cur_pyr, pxA[sel], dir_lvl[sel], search_level[sel],
