@@ -79,6 +79,29 @@ def test_trace_writer_schema(tmp_path):
     assert header == TIMERS + LOGS
 
 
+def test_timing_plots(tmp_path):
+    """analyse_timing.py parity: the plot suite renders from a trace CSV
+    (ref svo_analysis/src/svo_analysis/analyse_timing.py:16-69)."""
+    from rpg_svo_tpu.analysis.timing import load_trace, plot_timing
+
+    tw = TraceWriter(str(tmp_path), "plots")
+    rng = np.random.default_rng(0)
+    for i in range(30):
+        tw.log_frame({"timestamp": 0.02 * i,
+                      "proc_time": 0.004 + 0.001 * rng.random(),
+                      "sparse_img_align": 0.001, "reproject": 0.0015,
+                      "pyramid_creation": 0.0004,
+                      "pose_optimizer": 0.0005, "point_optimizer": 0.0002,
+                      "feature_align": 0.001, "reproject_kfs": 0.0003,
+                      "reproject_candidates": 0.0002,
+                      "repr_n_mps": 100, "result": "no_keyframe"})
+    path = tw.flush()
+    written = plot_timing(load_trace(path), str(tmp_path))
+    assert len(written) == 3
+    for p in written:
+        assert os.path.exists(p) and os.path.getsize(p) > 500
+
+
 def test_tum_dataset_reader(tmp_path):
     root = tmp_path / "tum"
     (root / "rgb").mkdir(parents=True)
