@@ -307,15 +307,9 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
                                  max_level=max_level)
         ref_b, okb = warp_affine_patches_tiles(
             geom.A, tile, tile_xy0, px, level, geom.search_level)
-        from rpg_svo_tpu.ops.pallas_scan import axis_scan_enabled
-        if cur_pad is not None and axis_scan_enabled():
-            # axis-aligned Pallas scan reuses the align2d patch; the
-            # rotated ref patch is only needed by the XLA strip path
-            ref_r, okr = None, True
-        else:
-            ref_r, okr = warp_rotated_tiles(
-                geom.A, tile, tile_xy0, px, level, geom.search_level,
-                geom.dir_lvl)
+        ref_r, okr = warp_rotated_tiles(
+            geom.A, tile, tile_xy0, px, level, geom.search_level,
+            geom.dir_lvl)
         return epipolar_search(
             cur_pyr, cam, geom, T_cr, f, ref_b, ref_r, okb & okr, elig,
             max_steps=max_steps, ftr_type=ftype, ftr_grad=grad,

@@ -129,12 +129,6 @@ def zmssd(ref_patch: jnp.ndarray, cur_patch: jnp.ndarray,
     return jnp.sum((r - c) ** 2, axis=axis)
 
 
-def _inner_patch(patch_border: jnp.ndarray) -> jnp.ndarray:
-    """(N, 100) bordered -> (N, 64) inner 8x8."""
-    pb = patch_border.reshape(-1, BORDERED, BORDERED)
-    return pb[:, 1:-1, 1:-1].reshape(-1, PATCH * PATCH)
-
-
 def warp_affine_patches_tiles(A_level0: jnp.ndarray, tiles: jnp.ndarray,
                               xy0: jnp.ndarray, px_ref: jnp.ndarray,
                               level_ref: jnp.ndarray,
@@ -376,17 +370,10 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
     N = pxA.shape[0]
     scanned = jnp.ones((N,), bool)
 
-    from rpg_svo_tpu.ops.pallas_scan import (epipolar_scan,
-                                              axis_scan_enabled)
-    if cur_pad is not None and axis_scan_enabled():
-        # Pallas per-seed scan: axis-aligned 8x8 windows at rounded px
-        # (reference-exact, matcher.cpp:263-291); loop bound = the seed's
-        # actual step count, so cost scales with live uncertainty.
-        # OPT-IN for now: see the worker-fault note in ops/pallas_scan.py
-        best_score, bi = epipolar_scan(
-            cur_pad, search_level, pxA, dir_lvl, n_steps,
-            _inner_patch(ref_patch_border), max_steps)
-    elif short_steps and short_steps < max_steps:
+    # (A per-seed Pallas scan kernel was tried here and removed: its
+    # per-item serial VPU loops measured ~2x slower end to end than this
+    # strip formulation — 62-66 vs 117 fps on the round-1 bench.)
+    if short_steps and short_steps < max_steps:
         # Two-tier scan: the strip gather is per-element latency-bound
         # (~9 ns/sample scattered-gather floor), so its cost is set by
         # TOTAL samples.  Most mature seeds scan only a few px — they get

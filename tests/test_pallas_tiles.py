@@ -57,35 +57,6 @@ def test_clamping_keeps_tiles_in_level(pyr):
     assert np.max(np.abs(np.asarray(tiles) - ref)) == 0.0
 
 
-def test_epipolar_scan_interpret_matches_xla(pyr):
-    from rpg_svo_tpu.ops import pallas_scan as ps
-    pp = PaddedPyramid(pyr)
-    n = 23
-    k = jax.random.PRNGKey(7)
-    level = jax.random.randint(k, (n,), 0, 3, jnp.int32)
-    Wr = np.asarray([w for _, w in pp.shapes])
-    Hr = np.asarray([h for h, _ in pp.shapes])
-    pxA = jnp.stack([
-        jax.random.uniform(jax.random.PRNGKey(8), (n,)) * 80 + 20,
-        jax.random.uniform(jax.random.PRNGKey(9), (n,)) * 60 + 20,
-    ], axis=-1)
-    ang = jax.random.uniform(jax.random.PRNGKey(10), (n,)) * 6.28
-    dirv = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
-    n_steps = jax.random.randint(jax.random.PRNGKey(11), (n,), 1, 40,
-                                 jnp.int32)
-    ref = jax.random.uniform(jax.random.PRNGKey(12), (n, 64)) * 255.0
-
-    s_xla, c_xla = ps.epipolar_scan(pp, level, pxA, dirv, n_steps, ref,
-                                    max_steps=48)
-    s_int, c_int = ps.epipolar_scan(pp, level, pxA, dirv, n_steps, ref,
-                                    max_steps=48, interpret=True)
-    fin = np.isfinite(np.asarray(s_xla))
-    assert np.array_equal(fin, np.isfinite(np.asarray(s_int)))
-    assert np.allclose(np.asarray(s_xla)[fin], np.asarray(s_int)[fin],
-                       rtol=1e-4, atol=1e-2)
-    assert np.array_equal(np.asarray(c_xla)[fin], np.asarray(c_int)[fin])
-
-
 def test_flat_view_matches_packed_sampling(pyr):
     """The strided flat view of a padded stack samples identically to the
     packed FlatPyramid (bilinear + nearest, validity included)."""
