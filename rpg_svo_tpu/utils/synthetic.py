@@ -49,17 +49,34 @@ class Texture:
 
     @staticmethod
     def make(seed: int = 0, n_waves: int = 48,
-             min_freq: float = 4.0, max_freq: float = 240.0) -> "Texture":
+             min_freq: float = 4.0, max_freq: float = 240.0,
+             flat_spectrum: bool = False) -> "Texture":
         rng = np.random.default_rng(seed)
         mag = np.exp(rng.uniform(np.log(min_freq), np.log(max_freq), n_waves))
         ang = rng.uniform(0, 2 * np.pi, n_waves)
         freq = np.stack([mag * np.cos(ang), mag * np.sin(ang)], axis=-1)
-        # 1/f-ish amplitude so low frequencies dominate but high frequencies
-        # still clear the FAST threshold (~20 intensity levels)
-        amp = 260.0 / (1.0 + 0.02 * mag)
+        if flat_spectrum:
+            # equal power per component: image detail survives down to the
+            # shortest wavelength, like a sharp photographic texture
+            amp = np.ones(n_waves)
+        else:
+            # 1/f-ish amplitude so low frequencies dominate but high
+            # frequencies still clear the FAST threshold (~20 levels)
+            amp = 260.0 / (1.0 + 0.02 * mag)
         amp = amp / amp.sum() * 420.0
         phase = rng.uniform(0, 2 * np.pi, n_waves)
         return Texture(amp, freq, phase)
+
+    @staticmethod
+    def make_fine(seed: int = 0, n_waves: int = 48) -> "Texture":
+        """Sharp texture whose detail reaches ~2 px at level 0 for a camera
+        2 m above the surface (f=315.5): FAST corners then live on pyramid
+        level 0 like the reference's photographed test texture, instead of
+        being pushed to coarse levels by a band-limited pattern.  (Measured
+        on the surface scene: level hist [586, 14, 0] vs [14, 63, 505] for
+        the default texture.)"""
+        return Texture.make(seed=seed, n_waves=n_waves, min_freq=30.0,
+                            max_freq=500.0, flat_spectrum=True)
 
     def eval(self, xy: jnp.ndarray) -> jnp.ndarray:
         """xy (..., 2) world coords -> intensity (...)."""
@@ -216,9 +233,12 @@ class SurfaceDataset:
     def __init__(self, n_frames: int = 20, seed: int = 0,
                  shape: Tuple[int, int] = (480, 752),
                  height: float = 2.0, step: float = 0.03,
-                 surf: SineSurface | None = None):
+                 surf: SineSurface | None = None,
+                 tex: Texture | None = None):
         self.cam = reference_test_camera(shape[1], shape[0])
-        self.tex = Texture.make(seed=seed)
+        # fine texture: the reference scene is a sharp photographic
+        # texture, so corners sit on pyramid level 0 (see make_fine)
+        self.tex = tex if tex is not None else Texture.make_fine(seed=seed)
         self.surf = surf if surf is not None else SineSurface()
         self.shape = shape
         # diagonal sweep like the reference matcher-test pose pair, with

@@ -21,3 +21,8 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on CPU; got %s" % jax.devices())
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running protocol test (several minutes)")

