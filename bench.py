@@ -1,19 +1,23 @@
 """Benchmark: tracked frames/s of the fused VO step on one TPU chip.
 
-Prints ONE JSON line:
+Prints one JSON line per preset (fast first — the headline metric):
   {"metric": "tracked_fps_single_chip", "value": N, "unit": "frames/s",
-   "vs_baseline": N / 300.0}
+   "vs_baseline": N / 600.0}
+  {"metric": "tracked_fps_single_chip_accurate", ...}
 
 Baseline: the reference SVO 'fast' preset tracks >300 fps on an i7 laptop
 (Forster et al., ICRA 2014 §VII-B; BASELINE.md).  BASELINE.json target:
->=600 fps on a single TPU chip.
+>=600 fps on a single TPU chip — vs_baseline is reported against 600.
+The accurate preset (local BA on, 200 features, grid 20 — Table I) is
+the second line; the reference runs it at camera rate (~55-70 fps) on a
+desktop.
 
 Protocol: render a synthetic 752x480 sequence (hermetic equivalent of the
 sin2_tex2_h1_v8 dataset), seed frame 0 with ground-truth depth (reference
 blender-benchmark protocol), then time the FUSED single-program step (the
 full track+map update per frame — sparse alignment, reprojection/matching,
-pose+structure refinement, keyframe logic, depth filter) over the
-remaining frames, one async dispatch per frame with periodic syncs.
+pose+structure refinement, keyframe logic, depth filter, local BA when
+enabled) over the remaining frames.
 """
 
 import json
@@ -30,47 +34,36 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if os.environ.get("BENCH_PLATFORM"):      # smoke tests: BENCH_PLATFORM=cpu
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
 
-def main():
-    # scan-mode chunk: one host->device dispatch per chunk.  The tunneled
-    # device pays ~20 ms of round-trip latency per dispatch, so the
-    # throughput metric amortizes it over 40 frames; BENCH_MODE=step
-    # measures the per-frame low-latency path instead.
-    n_frames = int(os.environ.get("BENCH_FRAMES", "400"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "80"))
-    from rpg_svo_tpu.config import fast_preset
+def make_cfg(preset: str):
+    from rpg_svo_tpu.config import fast_preset, accurate_preset
+    # epi_max_steps=64: at this scene's depth range the strip scan covers
+    # every segment at <=64 samples per level bump; measured identical
+    # median translation error to 128 (tools_batch_r2b) at +10% fps
+    kw = dict(grid_size=int(os.environ.get("BENCH_GRID", "25")),
+              epi_max_steps=int(os.environ.get("BENCH_EPI", "64")),
+              df_update_k=int(os.environ.get("BENCH_K", "512")))
+    if preset == "accurate":
+        return accurate_preset(epi_short_steps=16, epi_long_k=128, **kw)
+    return fast_preset(**kw)
+
+
+def run_preset(preset: str, ds, imgs, first, n_frames: int, chunk: int,
+               mode: str):
+    """Track the sequence under `preset`; returns (fps, n_timed, pos,
+    n_warm)."""
     from rpg_svo_tpu.core.pipeline import FrameHandler
     from rpg_svo_tpu.core import fused
-    from rpg_svo_tpu.utils.synthetic import SyntheticDataset
 
-    ds = SyntheticDataset(n_frames=n_frames, trajectory="circle",
-                          radius=0.25, revolutions=0.5)
-    cfg = fast_preset(grid_size=int(os.environ.get("BENCH_GRID", "25")),
-                      epi_max_steps=int(os.environ.get("BENCH_EPI",
-                                                       "128")),
-                      df_update_k=int(os.environ.get("BENCH_K", "512")))
+    img0, depth0, T0 = first
+    cfg = make_cfg(preset)
     fh = FrameHandler(ds.cam, cfg)
-
-    imgs = []
-    for i in range(n_frames):
-        img, depth, T = ds.frame(i)
-        imgs.append(img)
-        if i == 0:
-            img0, depth0, T0 = img, depth, T
-    imgs = jnp.stack(imgs[1:])
-    jax.block_until_ready(imgs)
-
-    fh.set_first_frame_with_depth(img0, T0.inverse(), depth0)
+    fh.set_first_frame_with_depth(jnp.array(img0, copy=True),
+                                  T0.inverse(), depth0)
     state = fused.state_from_handler(fh)
-
-    # Dispatch mode: "scan" (default) tracks `chunk` frames per device
-    # program via lax.scan — sequential frame-by-frame semantics,
-    # identical results to per-frame stepping (tests assert this), but
-    # one host->device dispatch per chunk so the remote-tunnel latency
-    # is off the critical path.  BENCH_MODE=step times one dispatch per
-    # frame (the live low-latency path).
-    mode = os.environ.get("BENCH_MODE", "scan")
 
     def step(st, img):
         return fused.vo_step_donated(st, img, ds.cam, cfg, fh.ncx, fh.ncy,
@@ -121,27 +114,54 @@ def main():
         dt = time.perf_counter() - t0
         pos = jnp.stack(all_pos) if all_pos else jnp.zeros((0, 3))
 
-    if n_timed == 0:
-        print(json.dumps({"metric": "tracked_fps_single_chip",
-                          "value": 0.0, "unit": "frames/s",
-                          "vs_baseline": 0.0}))
-        return
-    fps = n_timed / dt
+    fps = n_timed / dt if n_timed else 0.0
+    return fps, n_timed, pos, n_warm
 
-    # accuracy sanity on stderr
-    gt = jnp.stack([ds.poses[i].t
-                    for i in range(1 + n_warm, 1 + n_warm + n_timed)])
-    errs = jnp.linalg.norm(pos - gt, axis=-1)
-    print(f"# frames={n_timed} dt={dt:.3f}s median_terr="
-          f"{float(jnp.median(errs))*1000:.2f}mm "
-          f"max_terr={float(jnp.max(errs))*1000:.2f}mm", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "tracked_fps_single_chip",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 300.0, 3),
-    }))
+def main():
+    # scan-mode chunk: one host->device dispatch per chunk.  The tunneled
+    # device pays ~20 ms of round-trip latency per dispatch, so the
+    # throughput metric amortizes it over 40 frames; BENCH_MODE=step
+    # measures the per-frame low-latency path instead.
+    n_frames = int(os.environ.get("BENCH_FRAMES", "441"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "40"))
+    mode = os.environ.get("BENCH_MODE", "scan")
+    presets = os.environ.get("BENCH_PRESETS", "fast,accurate").split(",")
+    from rpg_svo_tpu.utils.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(n_frames=n_frames, trajectory="circle",
+                          radius=0.25, revolutions=0.5)
+    imgs = []
+    for i in range(n_frames):
+        img, depth, T = ds.frame(i)
+        imgs.append(img)
+        if i == 0:
+            first = (img, depth, T)
+    imgs = jnp.stack(imgs[1:])
+    jax.block_until_ready(imgs)
+
+    for preset in presets:
+        fps, n_timed, pos, n_warm = run_preset(
+            preset, ds, imgs, first, n_frames, chunk, mode)
+        if n_timed:
+            # accuracy sanity on stderr
+            gt = jnp.stack([ds.poses[i].t
+                            for i in range(1 + n_warm,
+                                           1 + n_warm + n_timed)])
+            errs = jnp.linalg.norm(pos - gt, axis=-1)
+            print(f"# {preset}: frames={n_timed} median_terr="
+                  f"{float(jnp.median(errs))*1000:.2f}mm "
+                  f"max_terr={float(jnp.max(errs))*1000:.2f}mm",
+                  file=sys.stderr)
+        suffix = "" if preset == "fast" else f"_{preset}"
+        # vs_baseline: BASELINE.json target is >=600 fps on one TPU chip
+        # (2x the reference's >300 fps laptop fast preset)
+        print(json.dumps({
+            "metric": f"tracked_fps_single_chip{suffix}",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 600.0, 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -142,7 +142,15 @@ def fast_preset(**overrides) -> Config:
                 # tight KF pool: pool rows are pyramid-sized, and pool
                 # size directly scales map-update bandwidth
                 max_kfs_pool=16,
-                quality_min_fts=50)
+                quality_min_fts=50,
+                # two-tier epipolar scan ON (exact — tested identical to
+                # the single-tier scan): most mature seeds scan a short
+                # 16-step strip in place, long segments compact to 128
+                # full-width slots.  Measured +35% fps on the TPU bench
+                # at identical accuracy (178 -> 242 with epi_max_steps
+                # 64; tools_batch_r2a/b logs).
+                epi_short_steps=16,
+                epi_long_k=128)
     base.update(overrides)
     return Config(**base)
 

@@ -306,29 +306,47 @@ def _strip_scan(cur_pyr: FlatPyramid, pxA: jnp.ndarray,
                 steps: int):
     """ZMSSD over `steps` 1-px windows along the epipolar line.
 
-    ONE rotated strip of (steps+8) x 8 nearest samples is gathered along
-    the line and every scan window becomes a static slice of the strip
-    (im2col); the ZMSSD over all windows is dense VPU math.  Returns
-    (best_score (N,), best_step (N,)) with inf score where no window in
-    [0, min(n_steps, steps)) was fully inside the level."""
+    ONE rotated strip of 8 x (steps+8) nearest samples is gathered along
+    the line, laid out with the LONG scan axis last (TPU lane dim; the
+    8-row axis rides the sublanes).  The per-window ZMSSD is computed
+    incrementally from 8 shifted slices of the strip via the expansion
+      ZMSSD(s) = sum(w^2) - (sum w)^2/64 - 2*sum(w*r') + sum(r'^2)
+    (r' = zero-meaned ref patch), so no (N, S, 64) im2col window tensor
+    is ever materialized — every intermediate is a clean (N, S) or
+    (N, 8, S) array.  [The earlier (N, S+8, 8) trailing-8 im2col layout
+    also intermittently faulted the TPU worker at execution — same
+    miscompile class as the odd-leading-dim table faults; this
+    formulation avoids those layouts by construction.]
+    Returns (best_score (N,), best_step (N,)) with inf score where no
+    window in [0, min(n_steps, steps)) was fully inside the level."""
     nrm = jnp.stack([-dir_lvl[:, 1], dir_lvl[:, 0]], axis=-1)
     cs = jnp.arange(steps + PATCH, dtype=jnp.float32) - HALFPATCH
     rs = jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH
     coords = (pxA[:, None, None, :]
-              + cs[None, :, None, None] * dir_lvl[:, None, None, :]
-              + rs[None, None, :, None] * nrm[:, None, None, :])
+              + rs[None, :, None, None] * nrm[:, None, None, :]
+              + cs[None, None, :, None] * dir_lvl[:, None, None, :])
     # nearest-neighbor: 1 gather/sample (reference scans integer pixels
     # too); align2d afterwards recovers the subpixel position
     strip, strip_ok = cur_pyr.nearest(
-        search_level[:, None, None], coords)              # (N, S+8, 8)
-    # windows: W[s] = strip[s : s+8, :] -> (N, S, 64), static slices
-    wins = jnp.stack([strip[:, u: u + steps, :]
-                      for u in range(PATCH)], axis=2)     # (N, S, 8, 8)
-    wins = wins.reshape(wins.shape[0], steps, PATCH * PATCH)
-    wok = jnp.stack([strip_ok[:, u: u + steps, :]
-                     for u in range(PATCH)], axis=2)
-    wok = jnp.all(wok.reshape(wok.shape[0], steps, -1), axis=-1)
-    sc = zmssd(ref_rot[:, None, :], wins)                 # (N, S)
+        search_level[:, None, None], coords)              # (N, 8, S+8)
+    okf = strip_ok.astype(strip.dtype)
+    # ref patch in (u=along-dir, r=row) order, zero-meaned
+    r2 = ref_rot.reshape(-1, PATCH, PATCH) \
+        - jnp.mean(ref_rot, axis=-1)[:, None, None]       # (N, 8u, 8r)
+    swin = jnp.zeros((strip.shape[0], steps), strip.dtype)
+    s2win = jnp.zeros_like(swin)
+    cross = jnp.zeros_like(swin)
+    nok = jnp.zeros_like(swin)
+    for u in range(PATCH):
+        sl = strip[:, :, u: u + steps]                    # (N, 8, S)
+        swin = swin + jnp.sum(sl, axis=1)
+        s2win = s2win + jnp.sum(sl * sl, axis=1)
+        cross = cross + jnp.sum(sl * r2[:, u, :, None], axis=1)
+        nok = nok + jnp.sum(okf[:, :, u: u + steps], axis=1)
+    rss = jnp.sum(r2 * r2, axis=(1, 2))                   # (N,)
+    sc = s2win - swin * swin * (1.0 / (PATCH * PATCH)) \
+        - 2.0 * cross + rss[:, None]                      # (N, S)
+    wok = nok >= float(PATCH * PATCH) - 0.5
     step_ids = jnp.arange(steps, dtype=jnp.int32)[None, :]
     sc = jnp.where((step_ids < n_steps[:, None]) & wok, sc, jnp.inf)
     return jnp.min(sc, axis=1), jnp.argmin(sc, axis=1).astype(jnp.int32)

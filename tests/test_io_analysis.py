@@ -102,6 +102,22 @@ def test_timing_plots(tmp_path):
         assert os.path.exists(p) and os.path.getsize(p) > 500
 
 
+def test_dashboard_renders(tmp_path):
+    """rqt_svo widget parity: dashboard PNG from a trace CSV."""
+    from rpg_svo_tpu.analysis.timing import load_trace
+    from rpg_svo_tpu.tools.dashboard import render_dashboard
+
+    tw = TraceWriter(str(tmp_path), "dash")
+    for i in range(20):
+        tw.log_frame({"timestamp": 0.02 * i, "proc_time": 0.004,
+                      "repr_n_new_references": 80 + i,
+                      "repr_n_mps": 100,
+                      "result": "failure" if i == 7 else "no_keyframe"})
+    path = tw.flush()
+    out = render_dashboard(load_trace(path), str(tmp_path / "dash.png"))
+    assert os.path.getsize(out) > 5000
+
+
 def test_tum_dataset_reader(tmp_path):
     root = tmp_path / "tum"
     (root / "rgb").mkdir(parents=True)

@@ -45,6 +45,10 @@ VARIANTS = {
     "struct_0": {"structureoptim_max_pts": 1,
                  "structureoptim_num_iter": 1},
     "grid40": {"grid_size": 40},
+    "grid30": {"grid_size": 30},
+    "subpix5": {"subpix_n_iter": 5},
+    "short8": {"epi_short_steps": 8},
+    "fts96": {"max_fts": 96},
     "align_unroll6": {"img_align_unroll": 6},
     "align_unroll_full": {"img_align_unroll": 30},
     "align_i12_full": {"img_align_n_iter": 12, "img_align_unroll": 12},
@@ -63,7 +67,7 @@ VARIANTS = {
 def run(name, overrides):
     ov = dict(overrides)
     gs = ov.pop("grid_size", 25)
-    cfg = fast_preset(grid_size=gs, epi_max_steps=128, df_update_k=512)
+    cfg = fast_preset(grid_size=gs, epi_max_steps=64, df_update_k=512)
     cfg = cfg.replace(**ov) if ov else cfg
     fh = FrameHandler(ds.cam, cfg)
     # fresh copy: the donated scan deletes the previous run's state, whose
