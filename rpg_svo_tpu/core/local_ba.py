@@ -69,6 +69,17 @@ def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
     variable = jnp.zeros((K,), bool).at[order].set(
         jnp.isfinite(d[order])).at[new_kf_slot].set(True)
     variable = variable & kf.active
+    # gauge anchor: the reference keeps every non-core OBSERVING keyframe
+    # fixed (bundle_adjustment.cpp:180-189), which normally anchors the
+    # solve.  Early in a sequence ALL active keyframes are core, the
+    # problem is gauge-free, and the damped GN drifts the whole map along
+    # the flat directions (measured 0.57 -> 1.92 mm median pose error on
+    # the noiseless synthetic circle).  Anchor by fixing the OLDEST
+    # variable keyframe whenever no active fixed keyframe remains.
+    has_fixed = jnp.any(kf.active & ~variable)
+    age = jnp.where(variable, kf.frame_id, jnp.iinfo(jnp.int32).max)
+    oldest = jnp.argmin(age)
+    variable = variable.at[oldest].set(variable[oldest] & has_fixed)
 
     obs_cam, obs_f, obs_level, obs_mask = _extract_observations(m)
 
