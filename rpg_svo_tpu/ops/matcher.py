@@ -326,29 +326,57 @@ def _strip_scan(cur_pyr: FlatPyramid, pxA: jnp.ndarray,
               + rs[None, :, None, None] * nrm[:, None, None, :]
               + cs[None, None, :, None] * dir_lvl[:, None, None, :])
     # nearest-neighbor: 1 gather/sample (reference scans integer pixels
-    # too); align2d afterwards recovers the subpixel position
-    strip, strip_ok = cur_pyr.nearest(
-        search_level[:, None, None], coords)              # (N, 8, S+8)
+    # too); align2d afterwards recovers the subpixel position.
+    # Narrow strips (S+8 < 128) gather through a flat 1-D index vector
+    # instead of an (N, 8, S+8)-shaped one: gathers whose output arrays
+    # have sub-128 lane dims hit the same TPU layout miscompile class as
+    # the 120-row feature-table fault (worker dies at execution; see
+    # CLAUDE.md), and 1-D outputs are trivially tiled.  The wide 136-lane
+    # shape is the long-proven-stable program — leave its HLO untouched.
+    N_, W_ = pxA.shape[0], steps + PATCH
+    if W_ < 128 and (N_ * PATCH * W_) % 128 == 0:
+        lvl_b = jnp.broadcast_to(search_level[:, None, None],
+                                 (N_, PATCH, W_)).reshape(-1)
+        strip, strip_ok = cur_pyr.nearest(lvl_b, coords.reshape(-1, 2))
+        strip = strip.reshape(N_, PATCH, W_)
+        strip_ok = strip_ok.reshape(N_, PATCH, W_)
+    else:
+        strip, strip_ok = cur_pyr.nearest(
+            search_level[:, None, None], coords)          # (N, 8, S+8)
     okf = strip_ok.astype(strip.dtype)
+    # Pad the scan axis (the TPU lane dimension) up to a multiple of 128
+    # AFTER the gather: programs whose window arrays had 16/64-lane
+    # layouts faulted the TPU worker at execution (same miscompile class
+    # as the 120-row feature-table fault; the 128-lane program has been
+    # stable — see CLAUDE.md).  Gather traffic, the actual cost, stays at
+    # steps+8 samples per row; the padded lanes are masked dense math.
+    csteps = -(-steps // 128) * 128
+    if csteps != steps:
+        pad = ((0, 0), (0, 0), (0, csteps - steps))
+        strip = jnp.pad(strip, pad)
+        okf = jnp.pad(okf, pad)
     # ref patch in (u=along-dir, r=row) order, zero-meaned
     r2 = ref_rot.reshape(-1, PATCH, PATCH) \
         - jnp.mean(ref_rot, axis=-1)[:, None, None]       # (N, 8u, 8r)
-    swin = jnp.zeros((strip.shape[0], steps), strip.dtype)
+    swin = jnp.zeros((strip.shape[0], csteps), strip.dtype)
     s2win = jnp.zeros_like(swin)
     cross = jnp.zeros_like(swin)
     nok = jnp.zeros_like(swin)
     for u in range(PATCH):
-        sl = strip[:, :, u: u + steps]                    # (N, 8, S)
+        sl = strip[:, :, u: u + csteps]                   # (N, 8, 128k)
         swin = swin + jnp.sum(sl, axis=1)
         s2win = s2win + jnp.sum(sl * sl, axis=1)
         cross = cross + jnp.sum(sl * r2[:, u, :, None], axis=1)
-        nok = nok + jnp.sum(okf[:, :, u: u + steps], axis=1)
+        nok = nok + jnp.sum(okf[:, :, u: u + csteps], axis=1)
     rss = jnp.sum(r2 * r2, axis=(1, 2))                   # (N,)
     sc = s2win - swin * swin * (1.0 / (PATCH * PATCH)) \
-        - 2.0 * cross + rss[:, None]                      # (N, S)
+        - 2.0 * cross + rss[:, None]                      # (N, 128k)
     wok = nok >= float(PATCH * PATCH) - 0.5
-    step_ids = jnp.arange(steps, dtype=jnp.int32)[None, :]
-    sc = jnp.where((step_ids < n_steps[:, None]) & wok, sc, jnp.inf)
+    step_ids = jnp.arange(csteps, dtype=jnp.int32)[None, :]
+    # (n_steps can exceed `steps` only in the padded/short-tier case; keep
+    # the csteps == steps HLO identical to the proven-stable program)
+    lim = n_steps if csteps == steps else jnp.minimum(n_steps, steps)
+    sc = jnp.where((step_ids < lim[:, None]) & wok, sc, jnp.inf)
     return jnp.min(sc, axis=1), jnp.argmin(sc, axis=1).astype(jnp.int32)
 
 

@@ -23,12 +23,13 @@ from rpg_svo_tpu.core.pipeline import FrameHandler
 from rpg_svo_tpu.core import fused
 from rpg_svo_tpu.utils.synthetic import SyntheticDataset
 
-n_frames = 40
-CHUNK = 10
+n_frames = int(os.environ.get("PROF_FRAMES", "40"))
+CHUNK = int(os.environ.get("PROF_CHUNK", "10"))
 ds = SyntheticDataset(n_frames=n_frames, trajectory="circle",
                       radius=0.25, revolutions=0.5)
 cfg = fast_preset(grid_size=int(os.environ.get("BENCH_GRID", "25")),
-                  epi_max_steps=128, df_update_k=512)
+                  epi_max_steps=int(os.environ.get("BENCH_EPI", "128")),
+                  df_update_k=int(os.environ.get("BENCH_K", "512")))
 fh = FrameHandler(ds.cam, cfg)
 imgs = []
 for i in range(n_frames):
