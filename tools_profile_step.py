@@ -100,7 +100,8 @@ for path in paths:
                     agg[key] += dur
                     total += dur
 
-print(f"total device op time: {total:.2f} ms over 20 frames "
-      f"({total/20:.3f} ms/frame)")
+NPROF = 2 * CHUNK
+print(f"total device op time: {total:.2f} ms over {NPROF} frames "
+      f"({total/NPROF:.3f} ms/frame)")
 for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
-    print(f"{v/20:8.4f} ms/frame  {k}")
+    print(f"{v/NPROF:8.4f} ms/frame  {k}")
