@@ -115,15 +115,19 @@ def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping):
     Vinv = jnp.linalg.inv(V + (1e-6 + damping) * jnp.eye(3))
     Vinv = jnp.where(prob.p_valid[:, None, None], Vinv, 0.0)
 
-    # Schur: S = U - sum_p W_p Vinv_p W_pᵀ  (cross-cam blocks via pairs)
+    # Schur: S = U - sum_p Y_pk Vinv_p Y_plᵀ with per-point per-camera
+    # couplings Y_pk = Σ_{m: cam_m=k} W_pm aggregated by one-hot matmuls.
+    # [The earlier pairwise formulation materialized a (P, M, M, 6, 6)
+    # cross tensor whose (6, 6) minor dims pad to (8, 128) under TPU
+    # tiling — 19.4 GB at the accurate preset (P=16384, M=17) — and fed a
+    # P*M^2-row scatter.  This form is O(P*K*18) with the big axes minor
+    # ((6, 3, P, K) layouts) and contracts on the MXU instead.]
     WV = jnp.einsum("pmab,pbc->pmac", Wc, Vinv)          # (P, M, 6, 3)
-    cross = jnp.einsum("pmac,pnbc->pmnab", WV, Wc)       # (P, M, M, 6, 6)
-    # scatter (cam_m, cam_n) blocks into the dense (K, K, 6, 6) system
     camPM = jnp.clip(prob.obs_cam, 0, K - 1)
-    pair_idx = (camPM[:, :, None] * K + camPM[:, None, :]).reshape(-1)
-    S_flat = jax.ops.segment_sum(cross.reshape(-1, 6, 6), pair_idx,
-                                 num_segments=K * K)
-    S = -S_flat.reshape(K, K, 6, 6)
+    E = jax.nn.one_hot(camPM, K, dtype=Wc.dtype)         # (P, M, K)
+    A = jnp.einsum("pmk,pmac->acpk", E, WV)              # (6, 3, P, K)
+    B = jnp.einsum("pmk,pmbc->bcpk", E, Wc)              # (6, 3, P, K)
+    S = -jnp.einsum("acpk,bcpl->klab", A, B)             # (K, K, 6, 6)
     S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
     rhs_p = jnp.einsum("pmac,pc->pma", WV, b_p)          # (P, M, 6)
     rhs = b_c - jax.ops.segment_sum(rhs_p.reshape(-1, 6), cam,

@@ -51,11 +51,13 @@ def _local_blocks(prob_shard: BAProblem, R, t, p_w, huber_k, damping):
     Vinv = jnp.linalg.inv(V + (1e-6 + damping) * jnp.eye(3))
     Vinv = jnp.where(prob_shard.p_valid[:, None, None], Vinv, 0.0)
 
+    # per-point per-camera couplings via one-hot matmuls (same layout
+    # reasoning as ba.schur._gn_step: no (P, M, M, 6, 6) cross tensor)
     WV = jnp.einsum("pmab,pbc->pmac", Wc, Vinv)
-    cross = jnp.einsum("pmac,pnbc->pmnab", WV, Wc)
-    pair_idx = (cam[:, :, None] * K + cam[:, None, :]).reshape(-1)
-    S_corr = jax.ops.segment_sum(cross.reshape(-1, 6, 6), pair_idx,
-                                 num_segments=K * K).reshape(K, K, 6, 6)
+    E = jax.nn.one_hot(cam, K, dtype=Wc.dtype)           # (P, M, K)
+    A_ = jnp.einsum("pmk,pmac->acpk", E, WV)             # (6, 3, P, K)
+    B_ = jnp.einsum("pmk,pmbc->bcpk", E, Wc)             # (6, 3, P, K)
+    S_corr = jnp.einsum("acpk,bcpl->klab", A_, B_)       # (K, K, 6, 6)
     rhs_corr = jax.ops.segment_sum(
         jnp.einsum("pmac,pc->pma", WV, b_p).reshape(-1, 6),
         camf, num_segments=K)
