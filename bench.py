@@ -46,16 +46,14 @@ def make_cfg(preset: str):
     kw = dict(grid_size=int(os.environ.get("BENCH_GRID", "25")),
               epi_max_steps=int(os.environ.get("BENCH_EPI", "64")),
               df_update_k=int(os.environ.get("BENCH_K", "512")))
+    if os.environ.get("BENCH_SCANROWS"):
+        kw["epi_scan_rows"] = int(os.environ["BENCH_SCANROWS"])
     if preset == "accurate":
-        # max_points/max_obs trimmed vs the preset defaults (16384/16):
-        # the local-BA Schur cross-blocks materialize a
-        # (P, M+1, M+1, 6, 6) buffer whose (6, 6) minor dims pad to
-        # (8, 128) under TPU tiling — 19.4 GB at the defaults, > HBM.
-        # (P=8192, M=12) fits; restructuring the block layout so the
-        # minor dims are MXU-friendly is the real fix (planned).
-        return accurate_preset(epi_short_steps=16, epi_long_k=128,
-                               max_points=8192, max_obs_per_point=12,
-                               **kw)
+        # full preset defaults (max_points=16384, max_obs=16): the Schur
+        # cross-blocks are assembled via one-hot camera couplings
+        # (ba/schur.py), so the reduced camera system no longer
+        # materializes a (P, M+1, M+1, 6, 6) buffer that outgrew HBM
+        return accurate_preset(epi_short_steps=16, epi_long_k=128, **kw)
     return fast_preset(**kw)
 
 
@@ -149,15 +147,25 @@ def main():
     jax.block_until_ready(imgs)
 
     ok_lines = 0
-    for preset in presets:
+    for pi, preset in enumerate(presets):
         try:
             fps, n_timed, pos, n_warm = run_preset(
                 preset, ds, imgs, first, n_frames, chunk, mode)
-        except Exception as e:   # noqa: BLE001 — a preset that cannot
-            # compile/fit (e.g. an HBM OOM) must not abort the presets
-            # that already produced their metric line
-            print(f"# {preset} preset failed: {type(e).__name__}: "
-                  f"{str(e)[:300]}", file=sys.stderr)
+        except Exception as e:   # noqa: BLE001
+            msg = f"{type(e).__name__}: {str(e)[:300]}"
+            # deterministic failures (compile/HBM OOM) must not abort the
+            # presets that already produced their metric line; transient
+            # backend death (worker fault) must REACH the __main__
+            # re-exec loop — a dead backend cannot run the next preset
+            # either, and swallowing it here silently drops the metric
+            fatal = ("RESOURCE_EXHAUSTED" in msg or "memory" in msg
+                     or "OOM" in msg)
+            if not fatal:
+                # resume from the failed preset only: finished presets
+                # already flushed their metric lines to stdout
+                os.environ["BENCH_PRESETS"] = ",".join(presets[pi:])
+                raise
+            print(f"# {preset} preset failed: {msg}", file=sys.stderr)
             continue
         if n_timed:
             # accuracy sanity on stderr

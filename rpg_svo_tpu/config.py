@@ -94,6 +94,12 @@ class Config:
     # K*(short+8)*8 + long_k*(max+8)*8 — is the whole scan cost.
     epi_short_steps: int = 0
     epi_long_k: int = 192
+    # Rows of the scan strip sampled along the patch normal (of PATCH=8).
+    # The strip gather is per-sample latency-bound (~7 ns/sample measured
+    # — the single largest cost of the fused step), so 4 halves the
+    # epipolar scan cost; the full 8x8 align2d refinement and the ZMSSD
+    # normalization/threshold adapt (ops/matcher._strip_scan).
+    epi_scan_rows: int = 8
     # Update seeds only every Nth non-keyframe frame (keyframes always
     # update).  The reference's mapping thread drops frames whenever its
     # queue (cap 3) is full (depth_filter.cpp:82-97); this is the static
@@ -150,7 +156,11 @@ def fast_preset(**overrides) -> Config:
                 # at identical accuracy (178 -> 242 with epi_max_steps
                 # 64; tools_batch_r2a/b logs).
                 epi_short_steps=16,
-                epi_long_k=128)
+                epi_long_k=128,
+                # 4-row scan strips: identical golden-protocol accuracy
+                # (p50 0.0716 vs 0.0714, conv 7512 vs 7519 on the flat
+                # epipolar sweep) at half the scan gather cost
+                epi_scan_rows=4)
     base.update(overrides)
     return Config(**base)
 

@@ -219,7 +219,8 @@ def apply_seed_update(m: MapState, upd: SeedFieldUpdate) -> MapState:
         m.pt, upd.p_w[order], TYPE_CANDIDATE, seed.kf_slot[order],
         seed.px[order], seed.f[order], seed.level[order], conv_c,
         orig_type=seed.ftype[order], orig_grad=seed.grad[order],
-        orig_tile=seed.tile[order], orig_tile_xy0=seed.tile_xy0[order])
+        orig_tile=seed.tile[order], orig_tile_xy0=seed.tile_xy0[order],
+        any_valid=jnp.any(conv_c))
     S = upd.converged.shape[0]
     tgt = jnp.where(conv_c, order, S)   # invalid rows -> dropped slot
     allocated = jnp.zeros((S + 1,), bool).at[tgt].set(conv_c)[:S]
@@ -232,18 +233,20 @@ def apply_seed_update(m: MapState, upd: SeedFieldUpdate) -> MapState:
 @functools.partial(jax.jit, static_argnames=("max_n_kfs", "conv_thresh",
                                              "max_steps", "update_k",
                                              "short_steps", "long_k",
-                                             "max_level"))
+                                             "max_level", "scan_rows"))
 def update_seeds(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3, cam,
                  max_n_kfs: int = 3, conv_thresh: float = 200.0,
                  max_steps: int = 256, update_k: int = 0,
                  cur_pad=None, short_steps: int = 0,
                  long_k: int = 0,
-                 max_level: int = 2) -> Tuple[MapState, SeedUpdateStats]:
+                 max_level: int = 2,
+                 scan_rows: int = 8) -> Tuple[MapState, SeedUpdateStats]:
     """One batched update of ALL active seeds against the current frame
     (field computation + write-back/allocation in one call)."""
     upd = update_seeds_fields(
         m, cur_pyr, T_cur_w, cam, max_n_kfs=max_n_kfs,
         conv_thresh=conv_thresh, max_steps=max_steps, update_k=update_k,
+        scan_rows=scan_rows,
         cur_pad=cur_pad, short_steps=short_steps, long_k=long_k,
         max_level=max_level)
     return apply_seed_update(m, upd), upd.stats
@@ -257,7 +260,8 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
                         enable: jnp.ndarray | bool = True,
                         short_steps: int = 0, long_k: int = 0,
                         max_level: int = 2,
-                        shard_axis: str = "") -> SeedFieldUpdate:
+                        shard_axis: str = "",
+                        scan_rows: int = 8) -> SeedFieldUpdate:
     """One batched update of ALL active seeds against the current frame.
 
     `update_k > 0` compacts the eligible seeds to at most that many before
@@ -313,7 +317,8 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
         return epipolar_search(
             cur_pyr, cam, geom, T_cr, f, ref_b, ref_r, okb & okr, elig,
             max_steps=max_steps, ftr_type=ftype, ftr_grad=grad,
-            cur_pad=cur_pad, short_steps=short_steps, long_k=long_k)
+            cur_pad=cur_pad, short_steps=short_steps, long_k=long_k,
+            scan_rows=scan_rows)
 
     def _gated_match(px, f, level, tile, tile_xy0, ftype, grad, T_cr,
                      d_est, dmin, dmax, elig):
@@ -403,15 +408,19 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
         # rows point at slot 0; route them to a dropped overflow slot,
         # so their written values never land)
         tgt = jnp.where(elig_c, sel, S)
+        # overflow region padded to 128 rows, not 1: odd-length (S+1,)
+        # 1-D scatters are in the TPU layout-miscompile class that faults
+        # the worker at execution (see CLAUDE.md)
         scat = lambda base, val: jnp.concatenate(
-            [base, base[:1]]).at[tgt].set(val)[:S]
+            [base, jnp.broadcast_to(base[:1], (128,) + base.shape[1:])]
+        ).at[tgt].set(val)[:S]
         mu_out = scat(seed.mu, mu_k)
         sigma2_out = scat(seed.sigma2, sigma2_k)
         a_out = scat(seed.a, a_k)
         b_out = scat(seed.b, b_k)
-        converged = jnp.zeros((S + 1,), bool).at[tgt].set(conv_k)[:S]
-        p_w = jnp.zeros((S + 1, 3), jnp.float32).at[tgt].set(p_w_k)[:S]
-        dead = jnp.zeros((S + 1,), bool).at[tgt].set(
+        converged = jnp.zeros((S + 128,), bool).at[tgt].set(conv_k)[:S]
+        p_w = jnp.zeros((S + 128, 3), jnp.float32).at[tgt].set(p_w_k)[:S]
+        dead = jnp.zeros((S + 128,), bool).at[tgt].set(
             (conv_k | nan_k) & elig_c)[:S]
         active_out = jnp.where(enable, active & ~dead, seed.active)
 

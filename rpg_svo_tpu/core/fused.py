@@ -62,6 +62,10 @@ class VOState(NamedTuple):
     feat_valid: jnp.ndarray
     stage: jnp.ndarray          # int32 STAGE_*
     num_obs_last: jnp.ndarray   # int32
+    # True when a pass that can delete points ran after the last
+    # scrub_dead_references (KF-frame local BA / delete_keyframe), so the
+    # next step must scrub even if its own reprojection deleted nothing
+    scrub_pending: jnp.ndarray  # bool
 
 
 class StepOut(NamedTuple):
@@ -82,7 +86,8 @@ def state_from_handler(fh) -> VOState:
         feat_px=lf.feat_px, feat_f=lf.feat_f, feat_level=lf.feat_level,
         feat_point=lf.feat_point, feat_valid=lf.feat_valid,
         stage=jnp.int32(STAGE_DEFAULT),
-        num_obs_last=jnp.int32(fh.num_obs_last))
+        num_obs_last=jnp.int32(fh.num_obs_last),
+        scrub_pending=jnp.bool_(True))
 
 
 def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
@@ -177,10 +182,31 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
             n_matches=jnp.sum(ref_ok).astype(jnp.int32),
             n_trials=jnp.int32(0))
     else:
+        ptype_before = m.pt.ptype
         pt2, rep = reproject_map(m, flat, T_cur, cam, cfg.grid_size, ncx,
                                  ncy, max_level=cfg.n_pyr_levels - 1,
                                  cur_pad=pad, max_fts=F)
-        m = svomap.scrub_dead_references(m._replace(pt=pt2))
+        m = m._replace(pt=pt2)
+        # scrub only when something was actually deleted since the last
+        # scrub (this frame's candidate pruning, or a pending KF-frame
+        # local-BA / delete_keyframe pass): the kf-table part of the
+        # scrub is a (K*F,)-row ptype gather every frame otherwise.
+        # Invariant (core/map.py): scrub must land between any point
+        # deletion and the next alloc_points — apply_seed_update below is
+        # the only allocation site in this step.
+        need_scrub = state.scrub_pending \
+            | jnp.any(pt2.ptype != ptype_before)
+
+        def do_scrub(_):
+            ms = svomap.scrub_dead_references(m)
+            return ms.kf.feat_valid, ms.kf.feat_point, ms.pt.obs_valid
+
+        def no_scrub(_):
+            return m.kf.feat_valid, m.kf.feat_point, m.pt.obs_valid
+
+        sfv, sfp, sov = jax.lax.cond(need_scrub, do_scrub, no_scrub, None)
+        m = m._replace(kf=m.kf._replace(feat_valid=sfv, feat_point=sfp),
+                       pt=m.pt._replace(obs_valid=sov))
     enough = rep.n_matches >= cfg.quality_min_fts
 
     # --- pose optimization -----------------------------------------------
@@ -265,7 +291,8 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
                 cur_pad=pad, enable=True,
                 short_steps=cfg.epi_short_steps, long_k=cfg.epi_long_k,
                 max_level=cfg.n_pyr_levels - 1,
-                shard_axis=cfg.shard_axis)
+                shard_axis=cfg.shard_axis,
+                scan_rows=cfg.epi_scan_rows)
 
         if cfg.df_update_every > 1:
             upd = jax.lax.cond(
@@ -379,7 +406,10 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
         feat_px=rep.feat_px, feat_f=feat_f, feat_level=rep.feat_level,
         feat_point=frame_like.feat_point, feat_valid=feat_valid,
         stage=jnp.int32(new_stage),
-        num_obs_last=num_obs.astype(jnp.int32))
+        num_obs_last=num_obs.astype(jnp.int32),
+        # KF frames may delete points late in the step (local BA pruning,
+        # map-cap delete_keyframe) — force a scrub next step
+        scrub_pending=jnp.asarray(is_kf, bool))
     T_wc = T_out.inverse()
     out = StepOut(rep.n_matches, pres.n_obs,
                   is_kf, failed, new_stage,

@@ -48,7 +48,7 @@ class KeyframeStore(NamedTuple):
     kp5_valid: jnp.ndarray    # (K, 5) bool
     # creation-time intensity tile per feature (ops/patches.py): all later
     # affine patch warps read this instead of the keyframe pyramid
-    feat_tile: jnp.ndarray     # (K, F, TILE_R, TILE_R) f32
+    feat_tile: jnp.ndarray     # (K, F, TILE_R*TILE_R) f32 flat rows
     feat_tile_xy0: jnp.ndarray  # (K, F, 2) int32 tile origin (level coords)
 
     @property
@@ -73,7 +73,7 @@ class PointStore(NamedTuple):
     orig_level: jnp.ndarray   # (P,) int32
     orig_type: jnp.ndarray    # (P,) int32 FEATURE_*
     orig_grad: jnp.ndarray    # (P, 2) unit gradient dir
-    orig_tile: jnp.ndarray    # (P, TILE_R, TILE_R) origin-feature tile
+    orig_tile: jnp.ndarray    # (P, TILE_R*TILE_R) origin-feature tile (flat)
     orig_tile_xy0: jnp.ndarray  # (P, 2) int32
 
     @property
@@ -101,7 +101,7 @@ class SeedStore(NamedTuple):
     sigma2: jnp.ndarray       # (S,) inverse-depth variance
     ftype: jnp.ndarray        # (S,) int32 FEATURE_*
     grad: jnp.ndarray         # (S, 2) unit gradient dir
-    tile: jnp.ndarray         # (S, TILE_R, TILE_R) origin-patch tile
+    tile: jnp.ndarray         # (S, TILE_R*TILE_R) origin-patch tile (flat)
     tile_xy0: jnp.ndarray     # (S, 2) int32
 
 
@@ -114,6 +114,12 @@ class MapState(NamedTuple):
 
 def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
              n_seeds: int, flat_len: int) -> MapState:
+    # keyframe pools carry ONE extra never-active SCRATCH row (the last):
+    # add_keyframe's masked per-frame writes land there when disabled, so
+    # the big rows (the multi-MB pyramid, the F-row feature tables) are
+    # written with a plain dynamic-update-slice instead of a
+    # gather-old-row + select + write round trip every frame
+    n_kfs = n_kfs + 1
     kf = KeyframeStore(
         flat_pyr=jnp.zeros((n_kfs, flat_len), jnp.float32),
         R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (n_kfs, 1, 1)),
@@ -133,7 +139,8 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
                          (n_kfs, 5, 1)),
         kp5_depth=jnp.ones((n_kfs, 5), jnp.float32),
         kp5_valid=jnp.zeros((n_kfs, 5), bool),
-        feat_tile=jnp.zeros((n_kfs, n_feats, TILE_R, TILE_R), jnp.float32),
+        feat_tile=jnp.zeros((n_kfs, n_feats, TILE_R * TILE_R),
+                            jnp.float32),
         feat_tile_xy0=jnp.full((n_kfs, n_feats, 2), -1, jnp.int32),
     )
     pt = PointStore(
@@ -153,7 +160,7 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
         orig_type=jnp.zeros((n_points,), jnp.int32),
         orig_grad=jnp.tile(jnp.array([1.0, 0.0], jnp.float32),
                            (n_points, 1)),
-        orig_tile=jnp.zeros((n_points, TILE_R, TILE_R), jnp.float32),
+        orig_tile=jnp.zeros((n_points, TILE_R * TILE_R), jnp.float32),
         orig_tile_xy0=jnp.full((n_points, 2), -1, jnp.int32),
     )
     seed = SeedStore(
@@ -170,7 +177,7 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
         sigma2=jnp.ones((n_seeds,), jnp.float32),
         ftype=jnp.zeros((n_seeds,), jnp.int32),
         grad=jnp.tile(jnp.array([1.0, 0.0], jnp.float32), (n_seeds, 1)),
-        tile=jnp.zeros((n_seeds, TILE_R, TILE_R), jnp.float32),
+        tile=jnp.zeros((n_seeds, TILE_R * TILE_R), jnp.float32),
         tile_xy0=jnp.full((n_seeds, 2), -1, jnp.int32),
     )
     return MapState(kf, pt, seed, jnp.int32(0))
@@ -199,7 +206,10 @@ def mask_compact(mask: jnp.ndarray, k: int):
     n = mask.shape[0]
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     tgt = jnp.where(mask & (pos < k), pos, k)
-    out = jnp.zeros((k + 1,), jnp.int32).at[tgt].max(
+    # overflow region padded to 128 rows, not 1: odd-length (k+1,) 1-D
+    # scatters are in the TPU layout-miscompile class that faults the
+    # worker at execution (see CLAUDE.md)
+    out = jnp.zeros((k + 128,), jnp.int32).at[tgt].max(
         jnp.arange(n, dtype=jnp.int32))
     idx = out[:k]
     valid = jnp.arange(k, dtype=jnp.int32) < jnp.maximum(pos[-1] + 1, 0)
@@ -296,7 +306,7 @@ def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
     if feat_tile is None:
         from rpg_svo_tpu.ops.patches import empty_tiles
         feat_tile, feat_tile_xy0 = empty_tiles(F)
-    slot = free_slots(kf.active, 1)[0]
+    slot = free_slots(kf.active[:-1], 1)[0]   # scratch row is not a slot
     slot = jnp.where(enable, slot, -1)
     ok = slot >= 0
     s = jnp.where(ok, slot, 0)
@@ -323,37 +333,32 @@ def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
     kp_dir = feat_f[kp_idx]
     kp_depth = feat_depth[kp_idx]
 
+    # disabled inserts write to the scratch row (last pool row, never
+    # active): a plain DUS per field, no old-row gather + select
+    sw = jnp.where(ok, slot, kf.active.shape[0] - 1)
     kf = kf._replace(
-        flat_pyr=kf.flat_pyr.at[s].set(
-            jnp.where(ok, flat_pyr, kf.flat_pyr[s])),
-        R=kf.R.at[s].set(jnp.where(ok, T_f_w.R, kf.R[s])),
-        t=kf.t.at[s].set(jnp.where(ok, T_f_w.t, kf.t[s])),
-        frame_id=kf.frame_id.at[s].set(
-            jnp.where(ok, frame_id, kf.frame_id[s])),
-        active=kf.active.at[s].set(jnp.where(ok, True, kf.active[s])),
-        feat_px=kf.feat_px.at[s].set(
-            jnp.where(ok, feat_px, kf.feat_px[s])),
-        feat_f=kf.feat_f.at[s].set(jnp.where(ok, feat_f, kf.feat_f[s])),
-        feat_level=kf.feat_level.at[s].set(
-            jnp.where(ok, feat_level, kf.feat_level[s])),
-        feat_point=kf.feat_point.at[s].set(
-            jnp.where(ok, feat_point, kf.feat_point[s])),
-        feat_type=kf.feat_type.at[s].set(
-            jnp.where(ok, feat_type, kf.feat_type[s])),
-        feat_grad=kf.feat_grad.at[s].set(
-            jnp.where(ok, feat_grad, kf.feat_grad[s])),
-        feat_valid=kf.feat_valid.at[s].set(
-            jnp.where(ok, feat_valid, kf.feat_valid[s])),
-        kp5_dir=kf.kp5_dir.at[s].set(jnp.where(ok, kp_dir, kf.kp5_dir[s])),
-        kp5_depth=kf.kp5_depth.at[s].set(
-            jnp.where(ok, kp_depth, kf.kp5_depth[s])),
-        kp5_valid=kf.kp5_valid.at[s].set(
-            jnp.where(ok, kp_valid, kf.kp5_valid[s])),
-        feat_tile=kf.feat_tile.at[s].set(
-            jnp.where(ok, feat_tile, kf.feat_tile[s])),
-        feat_tile_xy0=kf.feat_tile_xy0.at[s].set(
-            jnp.where(ok, feat_tile_xy0, kf.feat_tile_xy0[s])),
+        flat_pyr=kf.flat_pyr.at[sw].set(flat_pyr),
+        R=kf.R.at[sw].set(T_f_w.R),
+        t=kf.t.at[sw].set(T_f_w.t),
+        frame_id=kf.frame_id.at[sw].set(frame_id),
+        active=kf.active.at[sw].set(True),
+        feat_px=kf.feat_px.at[sw].set(feat_px),
+        feat_f=kf.feat_f.at[sw].set(feat_f),
+        feat_level=kf.feat_level.at[sw].set(feat_level),
+        feat_point=kf.feat_point.at[sw].set(feat_point),
+        feat_type=kf.feat_type.at[sw].set(feat_type),
+        feat_grad=kf.feat_grad.at[sw].set(feat_grad),
+        feat_valid=kf.feat_valid.at[sw].set(feat_valid),
+        kp5_dir=kf.kp5_dir.at[sw].set(kp_dir),
+        kp5_depth=kf.kp5_depth.at[sw].set(kp_depth),
+        kp5_valid=kf.kp5_valid.at[sw].set(kp_valid),
+        feat_tile=kf.feat_tile.at[sw].set(feat_tile),
+        feat_tile_xy0=kf.feat_tile_xy0.at[sw].set(feat_tile_xy0),
     )
+    # the scratch row must stay inert regardless of what landed there
+    kf = kf._replace(
+        active=kf.active.at[kf.active.shape[0] - 1].set(False),
+        frame_id=kf.frame_id.at[kf.frame_id.shape[0] - 1].set(-1))
     return m._replace(kf=kf), slot
 
 
@@ -364,10 +369,17 @@ def alloc_points(pt: PointStore, pos: jnp.ndarray, ptype_val: int,
                  orig_type: jnp.ndarray | None = None,
                  orig_grad: jnp.ndarray | None = None,
                  orig_tile: jnp.ndarray | None = None,
-                 orig_tile_xy0: jnp.ndarray | None = None
+                 orig_tile_xy0: jnp.ndarray | None = None,
+                 any_valid: jnp.ndarray | None = None
                  ) -> Tuple[PointStore, jnp.ndarray]:
     """Allocate up to N new points into free pool slots; returns
-    (store, slot_ids (N,), -1 where not allocated or invalid)."""
+    (store, slot_ids (N,), -1 where not allocated or invalid).
+
+    any_valid: optional traced scalar == valid.any(); when given, the
+    full-pool free-slot search runs under a cond (tiny (N,) output) so
+    frames with nothing to allocate — the common case for per-frame
+    candidate conversion — skip its O(P) cumsum+scatter.
+    """
     N = valid.shape[0]
     if orig_type is None:
         orig_type = jnp.zeros((N,), jnp.int32)
@@ -376,7 +388,12 @@ def alloc_points(pt: PointStore, pos: jnp.ndarray, ptype_val: int,
     if orig_tile is None:
         from rpg_svo_tpu.ops.patches import empty_tiles
         orig_tile, orig_tile_xy0 = empty_tiles(N)
-    slots = free_slots(pt.active, N)
+    if any_valid is not None:
+        slots = jax.lax.cond(
+            any_valid, lambda: free_slots(pt.active, N),
+            lambda: jnp.full((N,), -1, jnp.int32))
+    else:
+        slots = free_slots(pt.active, N)
     slots = jnp.where(valid, slots, -1)
     ok = slots >= 0
     s = jnp.where(ok, slots, 0)

@@ -58,6 +58,29 @@ QUALITY_BAD = "bad"
 QUALITY_INSUFFICIENT = "insufficient"
 
 
+class _StageTimer:
+    """Wall-clock per-stage timers with the reference's SVO_TRACE names
+    (frame_handler_base.cpp:46-74).  Stage boundaries block on the
+    stage's outputs — the host pipeline already syncs per stage through
+    its int()/float() scalar reads, so the extra blocking is ~free and
+    the recorded times are honest device+dispatch costs."""
+
+    def __init__(self, info: dict):
+        self.info = info
+        self.t = time.perf_counter()
+
+    def mark(self, name: str, *sync):
+        for a in sync:
+            jax.block_until_ready(a)
+        now = time.perf_counter()
+        self.info[name] = self.info.get(name, 0.0) + (now - self.t)
+        self.t = now
+
+    def skip(self):
+        """Reset the reference point without attributing elapsed time."""
+        self.t = time.perf_counter()
+
+
 @functools.partial(jax.jit, static_argnames=("n_opt", "n_iter"))
 def _structure_opt(m: MapState, frame: FrameState, n_opt: int,
                    n_iter: int) -> MapState:
@@ -234,11 +257,14 @@ class FrameHandler:
     # -- main entry ------------------------------------------------------
     def add_image(self, img, timestamp: float = 0.0):
         t0 = time.perf_counter()
+        info = {"timestamp": timestamp, "stage": self.stage}
+        timer = _StageTimer(info)
         frame = make_frame(img, self.n_levels, self.feat_cap,
                            self.next_id, timestamp)
+        timer.mark("pyramid_creation", frame.pad.stack)
         self.next_id += 1
-        info = {"frame_id": int(frame.frame_id), "timestamp": timestamp,
-                "stage": self.stage}
+        info["frame_id"] = int(frame.frame_id)
+        self._timer = timer
         if self.stage == STAGE_DEFAULT_FRAME:
             res, frame, info = self._process_frame(frame, info)
         elif self.stage == STAGE_RELOCALIZING:
@@ -359,6 +385,8 @@ class FrameHandler:
         (n_matches, n_edges, frame) with frame pose updated."""
         cfg = self.cfg
         last = self.last_frame
+        timer = getattr(self, "_timer", None) or _StageTimer(info)
+        timer.skip()
         # feature depths in the last frame from their points
         pid = jnp.clip(last.feat_point, 0, self.map.pt.pos.shape[0] - 1)
         p_last = last.T_f_w.apply(self.map.pt.pos[pid])
@@ -376,6 +404,7 @@ class FrameHandler:
         T_cur = align.T_cur_ref * last.T_f_w
         frame = frame.with_pose(T_cur)
         info["img_align_n_tracked"] = int(align.n_tracked)
+        timer.mark("sparse_img_align")
 
         # reprojection
         pt, rep = reproject_map(
@@ -388,6 +417,11 @@ class FrameHandler:
         info["repr_n_mps"] = int(rep.n_trials)
         info["repr_n_new_references"] = int(rep.n_matches)
         n_matches = int(rep.n_matches)
+        # our reprojector fuses projection + per-cell matching + subpixel
+        # alignment into one program; the reference's reproject_kfs /
+        # reproject_candidates / feature_align sub-timers have no
+        # separable host boundary and stay 0
+        timer.mark("reproject")
         feat_f = self.cam.cam2world(rep.feat_px)
         frame = frame._replace(
             feat_px=rep.feat_px, feat_f=feat_f,
@@ -410,6 +444,7 @@ class FrameHandler:
         info["sfba_error_init"] = float(pres.error_init)
         info["sfba_error_final"] = float(pres.error_final)
         info["sfba_n_edges_final"] = int(pres.n_obs)
+        timer.mark("pose_optimizer")
         return n_matches, int(pres.n_obs), frame
 
     def _process_frame(self, frame: FrameState, info):
@@ -425,9 +460,12 @@ class FrameHandler:
             return RESULT_FAILURE, frame, info
 
         # structure optimization
+        timer = getattr(self, "_timer", None) or _StageTimer(info)
+        timer.skip()
         self.map = _structure_opt(self.map, frame,
                                   cfg.structureoptim_max_pts,
                                   cfg.structureoptim_num_iter)
+        timer.mark("point_optimizer", self.map.pt.pos)
 
         # tracking quality
         self._set_quality(n_edges)
@@ -452,7 +490,8 @@ class FrameHandler:
                     cur_pad=frame.pad,
                     max_level=cfg.n_pyr_levels - 1,
                     short_steps=cfg.epi_short_steps,
-                    long_k=cfg.epi_long_k)
+                    long_k=cfg.epi_long_k,
+                    scan_rows=cfg.epi_scan_rows)
                 info["n_seeds"] = int(stats.n_seeds)
             return RESULT_NO_KEYFRAME, frame, info
 
@@ -491,6 +530,7 @@ class FrameHandler:
         # optional local bundle adjustment (accurate preset)
         if cfg.loba_num_iter > 0:
             from rpg_svo_tpu.core.local_ba import run_local_ba
+            timer.skip()
             self.map = run_local_ba(
                 self.map, slot,
                 jnp.float32(cfg.loba_robust_huber_width),
@@ -498,6 +538,7 @@ class FrameHandler:
                 n_iter=cfg.loba_num_iter, core_n_kfs=cfg.core_n_kfs)
             frame = frame.with_pose(
                 SE3(self.map.kf.R[slot], self.map.kf.t[slot]))
+            timer.mark("local_ba", self.map.pt.pos)
 
         # seeds: update against the KF, then init new ones
         self.map, stats = df.update_seeds(
@@ -509,7 +550,8 @@ class FrameHandler:
             cur_pad=frame.pad,
             max_level=cfg.n_pyr_levels - 1,
             short_steps=cfg.epi_short_steps,
-            long_k=cfg.epi_long_k)
+            long_k=cfg.epi_long_k,
+            scan_rows=cfg.epi_scan_rows)
         occupied = jnp.zeros((self.n_cells,), bool).at[
             cell_index(frame.feat_px, cfg.grid_size, self.ncx,
                        self.ncy)].max(frame.feat_valid)

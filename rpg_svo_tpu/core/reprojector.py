@@ -162,7 +162,7 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
     row = kf_safe * Ff + ft_safe
     kf_tile_rows = m.kf.feat_tile.reshape(Kk * Ff, *m.kf.feat_tile.shape[2:])
     kf_xy0_rows = m.kf.feat_tile_xy0.reshape(Kk * Ff, 2)
-    ref_tile = jnp.where(use_orig[:, None, None], pt.orig_tile[sel_pt],
+    ref_tile = jnp.where(use_orig[:, None], pt.orig_tile[sel_pt],
                          kf_tile_rows[row])
     ref_xy0 = jnp.where(use_orig[:, None], pt.orig_tile_xy0[sel_pt],
                         kf_xy0_rows[row])

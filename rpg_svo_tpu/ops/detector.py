@@ -115,6 +115,50 @@ def grid_dims(width: int, height: int, cell_size: int) -> Tuple[int, int]:
     return (-(-width // cell_size), -(-height // cell_size))
 
 
+def _cell_members(n_px: int, scale: int, cell_size: int, n_cells: int):
+    """Static membership of level-l pixel indices in grid cells along one
+    axis (cell = min(px * scale // cell_size, n_cells - 1), the mapping
+    used everywhere).  Returns (gather (n_cells, m_max) int32 with the
+    last member duplicated as padding, empty (n_cells,) bool)."""
+    import numpy as np
+    c = np.minimum(np.arange(n_px) * scale // cell_size, n_cells - 1)
+    members = [np.flatnonzero(c == j) for j in range(n_cells)]
+    m_max = max(max(len(m) for m in members), 1)
+    gather = np.zeros((n_cells, m_max), np.int32)
+    empty = np.zeros((n_cells,), bool)
+    for j, m in enumerate(members):
+        if len(m) == 0:
+            empty[j] = True
+            continue
+        gather[j] = np.pad(m, (0, m_max - len(m)), mode="edge")
+    return gather, empty
+
+
+def _cell_onehot(n_px: int, scale: int, cell_size: int, n_cells: int):
+    """(n_px, n_cells) exact 0/1 f32 matrix mapping pixels to their cell
+    (single 1.0 per row — matmul pass-through is exact)."""
+    import numpy as np
+    c = np.minimum(np.arange(n_px) * scale // cell_size, n_cells - 1)
+    oh = np.zeros((n_px, n_cells), np.float32)
+    oh[np.arange(n_px), c] = 1.0
+    return oh
+
+
+def _blocked_cell_reduce(x: jnp.ndarray, gy, gx, kind: str):
+    """Per-grid-cell reduce of a dense (H, W) map via separable row/col
+    gathers + dense reduces — cells are spatially contiguous, so no
+    segment scatter is needed.  [segment_max/min here scattered every
+    pixel (~360k at level 0) at the ~10 ns/element gather-scatter floor:
+    ~3.5 ms per detection; this form is a few hundred contiguous row
+    slices + dense VPU reduces.]  Returns (ncy, ncx)."""
+    red = jnp.max if kind == "max" else jnp.min
+    ncy, hm = gy.shape
+    ncx, wm = gx.shape
+    a = red(x[gy.reshape(-1), :].reshape(ncy, hm, x.shape[1]), axis=1)
+    b = red(a.T[gx.reshape(-1), :].reshape(ncx, wm, ncy), axis=1)
+    return b.T                                            # (ncy, ncx)
+
+
 @functools.partial(jax.jit, static_argnames=("cell_size", "threshold",
                                              "arc_length", "img_shape0"))
 def detect_features(pyramid: Tuple[jnp.ndarray, ...],
@@ -149,20 +193,33 @@ def detect_features(pyramid: Tuple[jnp.ndarray, ...],
         score = shi_tomasi_score(img)
         keep = corner & nonmax_3x3(jnp.where(corner, score, -jnp.inf))
         scale = 2 ** level
+        masked = jnp.where(keep, score, -jnp.inf)
+        # per-cell max: blocked separable reduce over the static grid
+        gy, ey = _cell_members(H, scale, cell_size, ncy)
+        gx, ex = _cell_members(W, scale, cell_size, ncx)
+        empty2d = ey[:, None] | ex[None, :]               # numpy (ncy, ncx)
+        best2d = _blocked_cell_reduce(masked, gy, gx, "max")
+        lvl_best = jnp.where(empty2d, -jnp.inf, best2d).reshape(-1)
+        # which pixel achieved its cell's max: upsample the per-cell max
+        # back to (H, W) with exact 0/1 matmuls (single 1.0 per row) —
+        # no (H*W,)-element cell gather
+        V = _cell_onehot(H, scale, cell_size, ncy)        # (H, ncy)
+        U = _cell_onehot(W, scale, cell_size, ncx)        # (W, ncx)
+        # clamp -inf (cornerless cells) to a finite sentinel: 0 * -inf in
+        # the matmul would be NaN and poison every row
+        full = (V @ jnp.maximum(best2d, -3e38)) @ U.T     # (H, W)
+        # tolerance: the TPU f32 matmul (bf16 multi-pass) rounds the
+        # pass-through by ~1e-5 relative; without slack a cell could
+        # lose its winner entirely
+        full = full - jnp.maximum(1e-4 * jnp.abs(full), 1e-6)
+        is_best = (masked >= full) & jnp.isfinite(masked)
+        # tie-break: lowest flat index wins via blocked min over index
         yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
         xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-        cell = jnp.minimum(yy * scale // cell_size, ncy - 1) * ncx \
-            + jnp.minimum(xx * scale // cell_size, ncx - 1)
-        masked = jnp.where(keep, score, -jnp.inf).ravel()
-        cell = cell.ravel()
-        lvl_best = jax.ops.segment_max(masked, cell, num_segments=n_cells)
-        # which pixel achieved the max in its cell at this level
-        is_best = (masked == lvl_best[cell]) & jnp.isfinite(masked)
-        # tie-break: lowest flat index wins via segment_min over index
-        idx = jnp.arange(H * W, dtype=jnp.int32)
-        win_idx = jax.ops.segment_min(
-            jnp.where(is_best, idx, jnp.int32(H * W)), cell,
-            num_segments=n_cells)
+        idx = yy * W + xx
+        win2d = _blocked_cell_reduce(
+            jnp.where(is_best, idx, jnp.int32(H * W)), gy, gx, "min")
+        win_idx = jnp.where(empty2d, jnp.int32(H * W), win2d).reshape(-1)
         has = win_idx < H * W
         wi = jnp.clip(win_idx, 0, H * W - 1)
         px_l = jnp.stack([(wi % W).astype(jnp.float32),

@@ -257,7 +257,8 @@ def warp_patches_rotated(A_level0: jnp.ndarray, ref_pyr,
 
 @functools.partial(jax.jit, static_argnames=("max_steps", "n_iter",
                                              "max_level", "align_1d",
-                                             "short_steps", "long_k"))
+                                             "short_steps", "long_k",
+                                             "scan_rows"))
 def epipolar_match(cur_pyr: FlatPyramid,
                    ref_pyr: FlatPyramid,
                    cam,
@@ -276,7 +277,8 @@ def epipolar_match(cur_pyr: FlatPyramid,
                    ftr_grad: jnp.ndarray | None = None,  # (N, 2)
                    align_1d: bool = False,
                    short_steps: int = 0,
-                   long_k: int = 0) -> EpipolarMatch:
+                   long_k: int = 0,
+                   scan_rows: int = PATCH) -> EpipolarMatch:
     """Batched epipolar ZMSSD search + subpixel refinement + triangulation.
 
     Compatibility wrapper sampling ref patches from a pyramid; the fused
@@ -297,13 +299,13 @@ def epipolar_match(cur_pyr: FlatPyramid,
                            valid, max_steps=max_steps, n_iter=n_iter,
                            ftr_type=ftr_type, ftr_grad=ftr_grad,
                            align_1d=align_1d, short_steps=short_steps,
-                           long_k=long_k)
+                           long_k=long_k, scan_rows=scan_rows)
 
 
 def _strip_scan(cur_pyr: FlatPyramid, pxA: jnp.ndarray,
                 dir_lvl: jnp.ndarray, search_level: jnp.ndarray,
                 n_steps: jnp.ndarray, ref_rot: jnp.ndarray,
-                steps: int):
+                steps: int, scan_rows: int = PATCH):
     """ZMSSD over `steps` 1-px windows along the epipolar line.
 
     ONE rotated strip of 8 x (steps+8) nearest samples is gathered along
@@ -317,11 +319,20 @@ def _strip_scan(cur_pyr: FlatPyramid, pxA: jnp.ndarray,
     also intermittently faulted the TPU worker at execution — same
     miscompile class as the odd-leading-dim table faults; this
     formulation avoids those layouts by construction.]
+    scan_rows < PATCH subsamples the strip's normal-direction rows (e.g.
+    4 of 8) for the SCAN only — the gather is per-sample latency-bound,
+    so this halves the scan's gather cost; the full 8x8 align2d
+    refinement afterwards is unchanged.  The ZMSSD normalization, ref
+    zero-meaning and validity count all use the subsampled window.
+
     Returns (best_score (N,), best_step (N,)) with inf score where no
     window in [0, min(n_steps, steps)) was fully inside the level."""
+    assert PATCH % scan_rows == 0
+    row_sel = tuple(range(0, PATCH, PATCH // scan_rows))
     nrm = jnp.stack([-dir_lvl[:, 1], dir_lvl[:, 0]], axis=-1)
     cs = jnp.arange(steps + PATCH, dtype=jnp.float32) - HALFPATCH
-    rs = jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH
+    rs = (jnp.arange(PATCH, dtype=jnp.float32) - HALFPATCH)[
+        jnp.asarray(row_sel)]
     coords = (pxA[:, None, None, :]
               + rs[None, :, None, None] * nrm[:, None, None, :]
               + cs[None, None, :, None] * dir_lvl[:, None, None, :])
@@ -334,12 +345,24 @@ def _strip_scan(cur_pyr: FlatPyramid, pxA: jnp.ndarray,
     # CLAUDE.md), and 1-D outputs are trivially tiled.  The wide 136-lane
     # shape is the long-proven-stable program — leave its HLO untouched.
     N_, W_ = pxA.shape[0], steps + PATCH
-    if W_ < 128 and (N_ * PATCH * W_) % 128 == 0:
-        lvl_b = jnp.broadcast_to(search_level[:, None, None],
-                                 (N_, PATCH, W_)).reshape(-1)
-        strip, strip_ok = cur_pyr.nearest(lvl_b, coords.reshape(-1, 2))
-        strip = strip.reshape(N_, PATCH, W_)
-        strip_ok = strip_ok.reshape(N_, PATCH, W_)
+    if W_ < 128:
+        # pad the item axis until the flat vector is a multiple of 128
+        # (dN <= 15; duplicated row-0 queries, sliced away after) rather
+        # than falling back to the fault-implicated (N, 8, S+8)-shaped
+        # gather for awkward N
+        dN = 0
+        while ((N_ + dN) * scan_rows * W_) % 128:
+            dN += 1
+        cq = coords if dN == 0 else jnp.concatenate(
+            [coords, jnp.broadcast_to(coords[:1],
+                                      (dN,) + coords.shape[1:])])
+        lq = search_level if dN == 0 else jnp.concatenate(
+            [search_level, jnp.broadcast_to(search_level[:1], (dN,))])
+        lvl_b = jnp.broadcast_to(lq[:, None, None],
+                                 (N_ + dN, scan_rows, W_)).reshape(-1)
+        strip, strip_ok = cur_pyr.nearest(lvl_b, cq.reshape(-1, 2))
+        strip = strip.reshape(N_ + dN, scan_rows, W_)[:N_]
+        strip_ok = strip_ok.reshape(N_ + dN, scan_rows, W_)[:N_]
     else:
         strip, strip_ok = cur_pyr.nearest(
             search_level[:, None, None], coords)          # (N, 8, S+8)
@@ -355,9 +378,10 @@ def _strip_scan(cur_pyr: FlatPyramid, pxA: jnp.ndarray,
         pad = ((0, 0), (0, 0), (0, csteps - steps))
         strip = jnp.pad(strip, pad)
         okf = jnp.pad(okf, pad)
-    # ref patch in (u=along-dir, r=row) order, zero-meaned
-    r2 = ref_rot.reshape(-1, PATCH, PATCH) \
-        - jnp.mean(ref_rot, axis=-1)[:, None, None]       # (N, 8u, 8r)
+    # ref patch in (u=along-dir, r=row) order, subsampled to the scanned
+    # rows and zero-meaned over the SAME window as the strip samples
+    r2 = ref_rot.reshape(-1, PATCH, PATCH)[:, :, row_sel]
+    r2 = r2 - jnp.mean(r2, axis=(1, 2))[:, None, None]  # (N, 8u, rows)
     swin = jnp.zeros((strip.shape[0], csteps), strip.dtype)
     s2win = jnp.zeros_like(swin)
     cross = jnp.zeros_like(swin)
@@ -369,9 +393,9 @@ def _strip_scan(cur_pyr: FlatPyramid, pxA: jnp.ndarray,
         cross = cross + jnp.sum(sl * r2[:, u, :, None], axis=1)
         nok = nok + jnp.sum(okf[:, :, u: u + csteps], axis=1)
     rss = jnp.sum(r2 * r2, axis=(1, 2))                   # (N,)
-    sc = s2win - swin * swin * (1.0 / (PATCH * PATCH)) \
+    sc = s2win - swin * swin * (1.0 / (PATCH * scan_rows)) \
         - 2.0 * cross + rss[:, None]                      # (N, 128k)
-    wok = nok >= float(PATCH * PATCH) - 0.5
+    wok = nok >= float(PATCH * scan_rows) - 0.5
     step_ids = jnp.arange(csteps, dtype=jnp.int32)[None, :]
     # (n_steps can exceed `steps` only in the padded/short-tier case; keep
     # the csteps == steps HLO identical to the proven-stable program)
@@ -393,7 +417,8 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
                     align_1d: bool = False,
                     cur_pad=None,
                     short_steps: int = 0,
-                    long_k: int = 0) -> EpipolarMatch:
+                    long_k: int = 0,
+                    scan_rows: int = PATCH) -> EpipolarMatch:
     """ZMSSD scan along the epipolar segment + align2d + triangulation.
 
     cur_pad: optional PaddedPyramid of the current frame — routes the
@@ -429,7 +454,8 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
         from rpg_svo_tpu.core.map import mask_compact
         is_short = n_steps <= short_steps
         sc_s, bi_s = _strip_scan(cur_pyr, pxA, dir_lvl, search_level,
-                                 n_steps, ref_rot, short_steps)
+                                 n_steps, ref_rot, short_steps,
+                                 scan_rows=scan_rows)
         # long-tier table rounded UP to a multiple of 128: odd leading
         # dims (e.g. 96) deterministically fault the TPU worker at
         # execution (layout/tiling miscompile — same failure mode as the
@@ -438,22 +464,29 @@ def epipolar_search(cur_pyr: FlatPyramid, cam, geom: EpipolarGeom,
         sel, okl = mask_compact((~is_short) & valid & ref_ok, kl)
         sc_lc, bi_lc = _strip_scan(
             cur_pyr, pxA[sel], dir_lvl[sel], search_level[sel],
-            jnp.where(okl, n_steps[sel], 0), ref_rot[sel], max_steps)
+            jnp.where(okl, n_steps[sel], 0), ref_rot[sel], max_steps,
+            scan_rows=scan_rows)
         tgt = jnp.where(okl, sel, N)     # padding rows -> dropped slot
-        sc_l = jnp.full((N + 1,), jnp.inf).at[tgt].set(
+        # scatter buffers padded to N+128, not N+1: odd-length 1-D
+        # scatters (e.g. 513) are in the TPU layout-miscompile class that
+        # faults the worker at execution (see CLAUDE.md); the overflow
+        # region [N, N+128) absorbs dropped rows either way
+        sc_l = jnp.full((N + 128,), jnp.inf).at[tgt].set(
             jnp.where(okl, sc_lc, jnp.inf))[:N]
-        bi_l = jnp.zeros((N + 1,), jnp.int32).at[tgt].set(bi_lc)[:N]
-        long_done = jnp.zeros((N + 1,), bool).at[tgt].set(okl)[:N]
+        bi_l = jnp.zeros((N + 128,), jnp.int32).at[tgt].set(bi_lc)[:N]
+        long_done = jnp.zeros((N + 128,), bool).at[tgt].set(okl)[:N]
         best_score = jnp.where(is_short, sc_s, sc_l)
         bi = jnp.where(is_short, bi_s, bi_l)
         scanned = is_short | long_done
     else:
         best_score, bi = _strip_scan(cur_pyr, pxA, dir_lvl, search_level,
-                                     n_steps, ref_rot, max_steps)
+                                     n_steps, ref_rot, max_steps,
+                                     scan_rows=scan_rows)
     best_px = pxA + bi[:, None].astype(jnp.float32) * dir_lvl
 
     found = jnp.isfinite(best_score) & valid & ref_ok
-    found = found & (best_score < ZMSSD_THRESHOLD)
+    # threshold scales with the scanned window's sample count
+    found = found & (best_score < 2000.0 * PATCH * scan_rows)
 
     # edgelet pre-filter (matcher.cpp:204-211): reject seeds whose warped
     # gradient is nearly orthogonal to the epipolar direction — the 1-D

@@ -37,11 +37,15 @@ def extract_tiles(pyr: FlatPyramid, px0: jnp.ndarray, level: jnp.ndarray
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Integer tiles around px0 (N, 2) level-0 coords at per-item `level`.
 
-    Returns (tiles (N, TILE_R, TILE_R) f32, xy0 (N, 2) int32 tile origin in
-    level coords).  Tile origins are clamped inside the level image, so
-    tiles are always fully valid image content.  This is the creation-time
-    (amortized) path; it gathers from the pyramid once per feature
-    lifetime.
+    Returns (tiles (N, TILE_R*TILE_R) f32 FLAT, xy0 (N, 2) int32 tile
+    origin in level coords).  Tiles are flat rows everywhere at rest: a
+    (N, 24, 24) layout pads its 24-lane minor dim to 128 under TPU tiling
+    (5.3x HBM blowup on every pool) and relayout-copies at the
+    producer/consumer boundaries; the flat (N, 576) row has one canonical
+    layout.  `sample_tiles` unflattens the compacted working set only.
+    Tile origins are clamped inside the level image, so tiles are always
+    fully valid image content.  This is the creation-time (amortized)
+    path; it gathers from the pyramid once per feature lifetime.
     """
     from rpg_svo_tpu.ops.pallas_tiles import PaddedPyramid, gather_tiles
     scale = 2.0 ** level.astype(jnp.float32)
@@ -51,7 +55,8 @@ def extract_tiles(pyr: FlatPyramid, px0: jnp.ndarray, level: jnp.ndarray
     if isinstance(pyr, PaddedPyramid):
         vals, x0, y0 = gather_tiles(pyr, level, cx - TILE_R // 2,
                                     cy - TILE_R // 2, TILE_R, TILE_R)
-        return vals, jnp.stack([x0, y0], axis=-1)
+        return (vals.reshape(vals.shape[0], TILE_R * TILE_R),
+                jnp.stack([x0, y0], axis=-1))
     W = pyr._widths[jnp.clip(level, 0, pyr.n_levels - 1)]
     H = pyr._heights[jnp.clip(level, 0, pyr.n_levels - 1)]
     x0 = jnp.clip(cx - TILE_R // 2, 0, jnp.maximum(W - TILE_R, 0))
@@ -61,24 +66,29 @@ def extract_tiles(pyr: FlatPyramid, px0: jnp.ndarray, level: jnp.ndarray
     ys = y0[:, None, None] + r[None, :, None]
     xy = jnp.stack(jnp.broadcast_arrays(xs, ys), axis=-1).astype(jnp.float32)
     vals, _ = pyr.nearest(level[:, None, None], xy)
-    return vals, jnp.stack([x0, y0], axis=-1)
+    return (vals.reshape(vals.shape[0], TILE_R * TILE_R),
+            jnp.stack([x0, y0], axis=-1))
 
 
 def empty_tiles(n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Placeholder tiles marked invalid (xy0 = -1)."""
-    return (jnp.zeros((n, TILE_R, TILE_R), jnp.float32),
+    return (jnp.zeros((n, TILE_R * TILE_R), jnp.float32),
             jnp.full((n, 2), -1, jnp.int32))
 
 
 def sample_tiles(tiles: jnp.ndarray, xy0: jnp.ndarray,
                  coords_lvl: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Bilinear-sample tiles (N, T, T) at level coords (N, P, 2).
+    """Bilinear-sample tiles (N, T*T) flat (or (N, T, T)) at level coords
+    (N, P, 2).
 
     Gather-free: separable one-hot bilinear weights contracted on the MXU.
     Returns (vals (N, P), ok (N, P)); samples outside the tile (or items
     with xy0 < 0, i.e. no tile) are invalid.
     """
+    if tiles.ndim == 2:
+        side = int(round(tiles.shape[-1] ** 0.5))
+        tiles = tiles.reshape(tiles.shape[0], side, side)
     T = tiles.shape[-1]
     local = coords_lvl - xy0[:, None, :].astype(jnp.float32)
     x = local[..., 0]

@@ -24,14 +24,24 @@ from rpg_svo_tpu.config import Config
 from rpg_svo_tpu.core import fused
 
 
+def _check_cfg(mesh, cfg: Config, axis: str) -> Config:
+    size = int(mesh.shape[axis])
+    if cfg.df_update_k and cfg.df_update_k % size:
+        raise ValueError(
+            f"cfg.df_update_k={cfg.df_update_k} must be a multiple of the "
+            f"'{axis}' mesh axis size {size}: the K-compacted seed domain "
+            f"is sharded over that axis (parallel/gspmd.py)")
+    return cfg.replace(shard_axis=axis)
+
+
 def vo_step_mesh(mesh, state: "fused.VOState", img, cam, cfg: Config,
                  ncx: int, ncy: int, img_shape: Tuple[int, int],
                  axis: str = "sp"):
     """One fused tracking+mapping step with mapping internals sharded
     over `axis`.  Inputs may live anywhere; outputs follow XLA's layout.
 
-    cfg.df_update_k should be a multiple of the axis size."""
-    cfg_sp = cfg.replace(shard_axis=axis)
+    cfg.df_update_k must be a multiple of the axis size (checked)."""
+    cfg_sp = _check_cfg(mesh, cfg, axis)
     with jax.set_mesh(mesh):
         return fused.vo_step(state, img, cam, cfg_sp, ncx, ncy, img_shape)
 
@@ -40,6 +50,6 @@ def vo_scan_mesh(mesh, state: "fused.VOState", imgs, cam, cfg: Config,
                  ncx: int, ncy: int, img_shape: Tuple[int, int],
                  axis: str = "sp"):
     """vo_scan (whole image stack, one program) with sharded internals."""
-    cfg_sp = cfg.replace(shard_axis=axis)
+    cfg_sp = _check_cfg(mesh, cfg, axis)
     with jax.set_mesh(mesh):
         return fused.vo_scan(state, imgs, cam, cfg_sp, ncx, ncy, img_shape)

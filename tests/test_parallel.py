@@ -122,3 +122,56 @@ def test_multistream_step_shard_map():
                        atol=1e-4)
     s_one = index_state(states2, 0)
     assert s_one.t.shape == (3,)
+
+
+def test_vo_scan_mesh_multiframe_parity_and_collectives():
+    """Multi-frame sharded vo_scan: (a) parity with the single-chip scan
+    over several frames, (b) the compiled HLO actually contains ICI
+    collectives (all-reduce/all-gather) from the sp-sharded mapping
+    internals, (c) df_update_k % sp != 0 is rejected."""
+    import numpy as np
+    from rpg_svo_tpu.config import fast_preset
+    from rpg_svo_tpu.core.pipeline import FrameHandler
+    from rpg_svo_tpu.core import fused
+    from rpg_svo_tpu.parallel.fused_mesh import vo_scan_mesh
+    from rpg_svo_tpu.utils.synthetic import SyntheticDataset
+
+    mesh = make_mesh(8, dp=2)   # sp = 4
+    shape = (120, 160)
+    ds = SyntheticDataset(n_frames=14, shape=shape, trajectory="circle",
+                          radius=0.25, revolutions=0.05)
+    cfg = fast_preset(grid_size=10, df_update_k=64, max_seeds=512,
+                      max_points=2048, max_kfs_pool=8, max_fts=128,
+                      quality_min_fts=20, epi_max_steps=32)
+    fh = FrameHandler(ds.cam, cfg, img_shape=shape)
+    img0, depth0, T0 = ds.frame(0)
+    fh.set_first_frame_with_depth(img0, T0.inverse(), depth0)
+    for i in range(1, 6):
+        fh.add_image(ds.frame(i)[0], timestamp=i / 50)
+    s0 = fused.state_from_handler(fh)
+    imgs = jnp.stack([ds.frame(i)[0] for i in range(6, 12)])
+
+    _, outs_ref = fused.vo_scan(s0, imgs, ds.cam, cfg, fh.ncx, fh.ncy,
+                                fh.img_shape)
+    _, outs_sp = vo_scan_mesh(mesh, s0, imgs, ds.cam, cfg, fh.ncx,
+                              fh.ncy, fh.img_shape)
+    d = float(jnp.max(jnp.abs(outs_sp.t_wc - outs_ref.t_wc)))
+    assert d < 1e-4, f"sharded multi-frame scan diverged: {d}"
+
+    # collective structure of the compiled sharded program
+    cfg_sp = cfg.replace(shard_axis="sp")
+    with jax.set_mesh(mesh):
+        compiled = fused.vo_scan.lower(
+            s0, imgs, ds.cam, cfg_sp, fh.ncx, fh.ncy,
+            fh.img_shape).compile()
+    hlo = compiled.as_text()
+    n_ar = hlo.count("all-reduce")
+    n_ag = hlo.count("all-gather")
+    assert n_ar + n_ag > 0, \
+        "sp-sharded vo_scan compiled without any collectives"
+
+    # axis-divisibility contract is enforced
+    with pytest.raises(ValueError):
+        vo_scan_mesh(mesh, s0, imgs, ds.cam,
+                     cfg.replace(df_update_k=66), fh.ncx, fh.ncy,
+                     fh.img_shape)

@@ -25,6 +25,11 @@ from rpg_svo_tpu.utils.synthetic import SyntheticDataset
 
 n_frames = int(os.environ.get("PROF_FRAMES", "40"))
 CHUNK = int(os.environ.get("PROF_CHUNK", "10"))
+# the traced slices below are imgs[CHUNK:2C] and imgs[2C:3C] of the
+# (n_frames-1)-frame stack; short counts silently shorten them and the
+# ms/frame denominator overstates (plus an odd-length chunk recompiles)
+assert n_frames >= 3 * CHUNK + 1, \
+    f"PROF_FRAMES={n_frames} must be >= 3*PROF_CHUNK+1={3 * CHUNK + 1}"
 ds = SyntheticDataset(n_frames=n_frames, trajectory="circle",
                       radius=0.25, revolutions=0.5)
 cfg = fast_preset(grid_size=int(os.environ.get("BENCH_GRID", "25")),
@@ -77,31 +82,70 @@ print("xplane files:", paths, file=sys.stderr)
 
 from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E402
 
-agg = defaultdict(float)
+# Leaf-op aggregation by SOURCE LOCATION (while/cond container spans are
+# skipped — they cover their bodies and would double-count).  The source
+# file maps onto the reference's SVO_TRACE stage names so the fused
+# path gets per-stage device timings (frame_handler_base.cpp:46-74).
+STAGES = [
+    ("ops/pyramid", "pyramid_creation"),
+    ("ops/sparse_align", "sparse_img_align"),
+    ("core/reprojector", "reproject"),
+    ("ops/feature_align", "feature_align"),
+    ("ops/matcher", "reproject"),
+    ("ops/pose_opt", "pose_optimizer"),
+    ("ops/point_opt", "point_optimizer"),
+    ("core/fused.py:2", "depth_filter"),   # the df-update cond call site
+    ("core/depth_filter", "depth_filter"),
+    ("ba/", "local_ba"),
+    ("core/local_ba", "local_ba"),
+    ("ops/detector", "detect"),
+    ("core/map", "map_ops"),
+    ("ops/pallas_tiles", "reproject"),
+]
+by_src = defaultdict(float)
+by_stage = defaultdict(float)
 total = 0.0
 for path in paths:
     xs = xplane_pb2.XSpace()
     xs.ParseFromString(open(path, "rb").read())
     for plane in xs.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
+        if "TPU" not in plane.name:
             continue
+        smeta = plane.stat_metadata
         ev_meta = plane.event_metadata
         for line in plane.lines:
-            if line.name not in ("XLA Ops", "XLA TraceMe", "Steps"):
-                # device op lines are usually "XLA Ops"
-                pass
+            if line.name != "XLA Ops":
+                continue
             for ev in line.events:
-                name = ev_meta[ev.metadata_id].name if ev.metadata_id in \
-                    ev_meta else str(ev.metadata_id)
+                md = ev_meta[ev.metadata_id]
+                stats = {}
+                for st in md.stats:
+                    k = smeta[st.metadata_id].name
+                    stats[k] = st.str_value or st.ref_value \
+                        or st.int64_value or st.double_value
+                if stats.get("hlo_category") in ("while", "conditional"):
+                    continue
                 dur = ev.duration_ps / 1e9   # ms
-                if line.name == "XLA Ops":
-                    # aggregate by fusion-name prefix
-                    key = name.split(".")[0]
-                    agg[key] += dur
-                    total += dur
+                total += dur
+                src = str(stats.get("source", "<none>"))
+                by_src[src] += dur
+                stage = "other"
+                for pat, name in STAGES:
+                    if pat in src:
+                        stage = name
+                        break
+                by_stage[stage] += dur
 
 NPROF = 2 * CHUNK
 print(f"total device op time: {total:.2f} ms over {NPROF} frames "
       f"({total/NPROF:.3f} ms/frame)")
-for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
-    print(f"{v/NPROF:8.4f} ms/frame  {k}")
+print("--- per stage (ms/frame) ---")
+for k, v in sorted(by_stage.items(), key=lambda kv: -kv[1]):
+    print(f"{v/NPROF:8.4f}  {k}")
+print("--- per source line (ms/frame, top 40) ---")
+for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:40]:
+    print(f"{v/NPROF:8.4f}  {k}")
+import json                                   # noqa: E402
+with open("/tmp/svo_fused_stages.json", "w") as f:
+    json.dump({k: v / NPROF for k, v in by_stage.items()}, f, indent=1)
+print("stage ms/frame written to /tmp/svo_fused_stages.json")
