@@ -144,7 +144,7 @@ def init_seeds_from_detection(m: MapState, kf_slot: jnp.ndarray, det,
         det_tile, det_tile_xy0 = empty_tiles(n)
 
     seed = m.seed
-    slots = free_slots(seed.active, n)
+    slots = free_slots(seed.active[:-1], n)   # last row = write scratch
     slots = jnp.where(good, slots, -1)
     f = cam.cam2world(det["px"])
     z_range = 1.0 / jnp.maximum(depth_min, 1e-6)
@@ -172,6 +172,9 @@ def init_seeds_from_detection(m: MapState, kf_slot: jnp.ndarray, det,
         tile=alloc_scatter(seed.tile, slots, det_tile),
         tile_xy0=alloc_scatter(seed.tile_xy0, slots, det_tile_xy0),
     )
+    # scratch row stays inactive regardless of what landed there
+    seed = seed._replace(active=seed.active.at[
+        seed.active.shape[0] - 1].set(False))
     return m._replace(seed=seed, kf_counter=kf_counter)
 
 

@@ -114,12 +114,14 @@ class MapState(NamedTuple):
 
 def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
              n_seeds: int, flat_len: int) -> MapState:
-    # keyframe pools carry ONE extra never-active SCRATCH row (the last):
-    # add_keyframe's masked per-frame writes land there when disabled, so
-    # the big rows (the multi-MB pyramid, the F-row feature tables) are
-    # written with a plain dynamic-update-slice instead of a
-    # gather-old-row + select + write round trip every frame
-    n_kfs = n_kfs + 1
+    # SCRATCH-ROW CONVENTION: the LAST row of every pool (keyframes,
+    # points, seeds) is reserved as a write scratch slot and is never
+    # handed out by the free-slot search.  Masked per-frame inserts land
+    # there when disabled, so pool writes are plain dynamic-update-slices
+    # instead of gather-old-row + select + write round trips; usable
+    # capacity is n-1.  Pool sizes stay at their configured multiples —
+    # growing them by one would recreate the odd-leading-dim table
+    # layouts implicated in TPU worker faults (see CLAUDE.md).
     kf = KeyframeStore(
         flat_pyr=jnp.zeros((n_kfs, flat_len), jnp.float32),
         R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (n_kfs, 1, 1)),
@@ -218,13 +220,11 @@ def mask_compact(mask: jnp.ndarray, k: int):
 
 def alloc_scatter(arr: jnp.ndarray, slots: jnp.ndarray,
                   values: jnp.ndarray) -> jnp.ndarray:
-    """Scatter values into arr at slots, skipping slots == -1."""
-    ok = slots >= 0
-    safe = jnp.where(ok, slots, 0)
-    shape = (ok.shape[0],) + (1,) * (arr.ndim - 1)
-    old = arr[safe]
-    newv = jnp.where(ok.reshape(shape), values, old)
-    return arr.at[safe].set(newv)
+    """Scatter values into arr at slots; slots == -1 land in the pool's
+    scratch row (the LAST row — see init_map), which callers reset after
+    the batch of writes.  No old-row gather + select."""
+    sw = jnp.where(slots >= 0, slots, arr.shape[0] - 1)
+    return arr.at[sw].set(values)
 
 
 # ---------------------------------------------------------------------------
@@ -390,10 +390,10 @@ def alloc_points(pt: PointStore, pos: jnp.ndarray, ptype_val: int,
         orig_tile, orig_tile_xy0 = empty_tiles(N)
     if any_valid is not None:
         slots = jax.lax.cond(
-            any_valid, lambda: free_slots(pt.active, N),
+            any_valid, lambda: free_slots(pt.active[:-1], N),
             lambda: jnp.full((N,), -1, jnp.int32))
     else:
-        slots = free_slots(pt.active, N)
+        slots = free_slots(pt.active[:-1], N)   # scratch row is not a slot
     slots = jnp.where(valid, slots, -1)
     ok = slots >= 0
     s = jnp.where(ok, slots, 0)
@@ -418,6 +418,9 @@ def alloc_points(pt: PointStore, pos: jnp.ndarray, ptype_val: int,
         orig_tile_xy0=alloc_scatter(pt.orig_tile_xy0, slots,
                                     orig_tile_xy0),
     )
+    # the scratch row must stay dead regardless of what landed there
+    pt = pt._replace(ptype=pt.ptype.at[pt.ptype.shape[0] - 1].set(
+        TYPE_DELETED))
     return pt, slots
 
 

@@ -20,15 +20,15 @@ import jax.numpy as jnp
 def half_sample(img: jnp.ndarray) -> jnp.ndarray:
     """(H, W) -> (H//2, W//2) by 2x2 averaging (ref: vk::halfSample).
 
-    Four strided slices + adds: the (h, 2, w, 2) reshape-mean form forced
-    a full T(8,128) relayout copy of the level on TPU (measured ~0.1
-    ms/frame of the fused step); strided slices keep the native layout.
+    Keep the reshape-mean form: XLA lowers it to one fused reduction per
+    level (~0.1 ms/frame total).  A strided-slice variant
+    (v[0::2, 0::2] + ...) was tried and REVERTED: lane-strided slices
+    are scatter-class on TPU and measured 4.7 ms/frame — 47x worse.
     """
     H, W = img.shape
     h, w = H // 2, W // 2
-    v = img[: h * 2, : w * 2]
-    return 0.25 * (v[0::2, 0::2] + v[0::2, 1::2]
-                   + v[1::2, 0::2] + v[1::2, 1::2])
+    v = img[: h * 2, : w * 2].reshape(h, 2, w, 2)
+    return v.mean(axis=(1, 3))
 
 
 def build_pyramid(img: jnp.ndarray, n_levels: int) -> Tuple[jnp.ndarray, ...]:

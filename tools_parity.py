@@ -47,7 +47,7 @@ def stat_block(errs_m: np.ndarray, scale: float = 100.0):
 
 
 def run_matcher_sweep(stride: int = 1, chunk: int = 8192,
-                      surf_amp: float = 0.2):
+                      surf_amp: float = 0.2, slope_bins: bool = False):
     """Protocol 1: full-image epipolar sweep (test_matcher.cpp:84-127).
 
     Pose pair mirrors the reference fixture: ref at (0.1131, 0.1131, 2.0),
@@ -82,8 +82,22 @@ def run_matcher_sweep(stride: int = 1, chunk: int = 8192,
         jnp.zeros((px.shape[0],), jnp.int32), d_est, d_min, d_max,
         jnp.ones((px.shape[0],), bool)))
 
+    # per-pixel GT depth slope (finite differences, m per level-0 px):
+    # the affine warp's constant-depth (fronto-parallel) patch model —
+    # the SAME approximation the reference makes (matcher.cpp:40-46) —
+    # degrades with surface slope, so binning the error by |grad z|
+    # separates matcher error from scene-slope distribution
+    dz = np.asarray(depth_ref)
+    gx = np.zeros_like(dz)
+    gy = np.zeros_like(dz)
+    gx[:, 1:-1] = 0.5 * (dz[:, 2:] - dz[:, :-2])
+    gy[1:-1, :] = 0.5 * (dz[2:, :] - dz[:-2, :])
+    slope_all = np.hypot(gx, gy)[ys.ravel(), xs.ravel()]
+
     n_conv = 0
     errors = []
+    ok_all = []
+    err_all = []
     for lo in range(0, N, chunk):
         px = jnp.asarray(px_all[lo:lo + chunk])
         gt = jnp.asarray(gt_all[lo:lo + chunk])
@@ -100,9 +114,24 @@ def run_matcher_sweep(stride: int = 1, chunk: int = 8192,
         err = np.abs(d - gt_all[lo:lo + chunk])
         n_conv += int(ok.sum())
         errors.append(err[ok])
+        ok_all.append(ok)
+        err_all.append(err)
     errors = np.concatenate(errors)
     st = stat_block(errors)
     st["n_total"] = N
+    if slope_bins:
+        ok_all = np.concatenate(ok_all)
+        err_all = np.concatenate(err_all)
+        edges = [0.0, 0.001, 0.002, 0.004, 0.008, np.inf]
+        rows = []
+        for lo_e, hi_e in zip(edges[:-1], edges[1:]):
+            sel = ok_all & (slope_all >= lo_e) & (slope_all < hi_e)
+            if sel.sum() < 50:
+                continue
+            b = stat_block(err_all[sel])
+            b["bin"] = f"[{lo_e:.3f}, {hi_e:.3f})"
+            rows.append(b)
+        st["slope_rows"] = rows
     return st
 
 
@@ -191,7 +220,7 @@ def main():
 
     out = []
     if not args.skip_matcher:
-        st = run_matcher_sweep(stride=args.stride)
+        st = run_matcher_sweep(stride=args.stride, slope_bins=True)
         fl = run_matcher_sweep(stride=args.stride, surf_amp=0.0)
         print(f"# epipolar sweep: {st['n']}/{st['n_total']} converged "
               f"(ref: {REF_MATCHER['n']}/351168)", flush=True)
@@ -206,6 +235,18 @@ def main():
         out.append(fmt("Full-image epipolar sweep "
                        "(test_matcher.cpp:117-127 protocol)",
                        st, fl, REF_MATCHER))
+        if st.get("slope_rows"):
+            lines = ["", "Slope-binned sinusoidal errors (|grad z| in "
+                     "m/px at level 0; the constant-depth affine-warp "
+                     "model shared with the reference degrades with "
+                     "surface slope):", "",
+                     "| slope bin | n | p50 | p80 | p95 |", "|---|---|---|---|---|"]
+            for b in st["slope_rows"]:
+                lines.append(f"| {b['bin']} | {b['n']} | {b['p50']:.4f} "
+                             f"| {b['p80']:.4f} | {b['p95']:.4f} |")
+                print(f"slope {b['bin']}: n={b['n']} p50={b['p50']:.4f} "
+                      f"p80={b['p80']:.4f} p95={b['p95']:.4f}")
+            out.append("\n".join(lines))
     if not args.skip_df:
         st = run_depth_filter()
         fl = run_depth_filter(surf_amp=0.0)
