@@ -39,6 +39,10 @@ class Config:
     klt_min_level: int = 2          # finest pyramid level for image alignment
     img_align_n_iter: int = 30      # GN iterations per level
     img_align_eps: float = 1e-7     # convergence threshold on |dx|
+    # optional Tukey/MAD robust weighting of the photometric residuals
+    # (the reference's vk::NLLSSolver weight-function hook — default-off
+    # there as well, sparse_img_align.cpp:82-83)
+    img_align_robust: bool = False
     # GN loop structure on TPU: `unroll` masked iterations per while_loop
     # step; >= n_iter drops the while entirely (straight-line, masked)
     img_align_unroll: int = 3

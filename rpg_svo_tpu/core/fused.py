@@ -160,7 +160,8 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
             ref_pyr, pyr, cam, SE3.identity(), ref_px, ref_f, depth, ref_ok,
             max_level=cfg.klt_max_level, min_level=cfg.klt_min_level,
             n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps, cur_pad=pad,
-            ref_pad=ref_pad, unroll=cfg.img_align_unroll)
+            ref_pad=ref_pad, unroll=cfg.img_align_unroll,
+            robust=cfg.img_align_robust)
         T_cur = align.T_cur_ref * T_ref
         # relocalization gate: need > 30 tracked to accept the alignment
         reloc_fail = reloc & (align.n_tracked <= 30)

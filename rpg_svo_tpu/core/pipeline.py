@@ -400,7 +400,8 @@ class FrameHandler:
             max_level=cfg.klt_max_level, min_level=cfg.klt_min_level,
             n_iter=cfg.img_align_n_iter, eps=cfg.img_align_eps,
             cur_pad=pad, ref_pad=last.pad,
-            unroll=self.cfg.img_align_unroll)
+            unroll=self.cfg.img_align_unroll,
+            robust=self.cfg.img_align_robust)
         T_cur = align.T_cur_ref * last.T_f_w
         frame = frame.with_pose(T_cur)
         info["img_align_n_tracked"] = int(align.n_tracked)

@@ -171,7 +171,7 @@ def _precompute_level(ref_img, cam_fx, feats_px, feats_f, feats_depth,
 
 def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
               level: int, n_iter: int, eps: float, cur_pad=None,
-              unroll: int = 3):
+              unroll: int = 3, robust: bool = False):
     """GN iterations at one level; carries best (lowest-chi2) pose."""
     scale = 1.0 / (2.0 ** level)
     uv0 = cam.world2cam(T_init.apply(p_ref)) * scale
@@ -191,6 +191,14 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
 
     def normal_eqs(res, m):
         mf = m.astype(res.dtype)
+        if robust:
+            # vk::NLLSSolver's optional robustification (default-off in
+            # the reference too): Tukey weights on per-pixel photometric
+            # residuals, scaled by the MAD estimate
+            # (sparse_img_align.cpp:82-83, 213-219)
+            from rpg_svo_tpu.ops.robust import mad_scale, tukey_weight
+            sigma = jnp.maximum(mad_scale(res.ravel(), m.ravel()), 1e-3)
+            mf = mf * tukey_weight(jnp.abs(res) / sigma)
         # Jres = -sum J r  (reference: Jres_[k] -= res*J[k])
         rm = res * mf
         Jres = -jnp.sum(rm[:, :, None] * jac, axis=(0, 1))
@@ -263,7 +271,8 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
 
 
 @functools.partial(jax.jit, static_argnames=("max_level", "min_level",
-                                             "n_iter", "eps", "unroll"))
+                                             "n_iter", "eps", "unroll",
+                                             "robust"))
 def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
                      cur_pyr: Tuple[jnp.ndarray, ...],
                      cam,
@@ -277,8 +286,12 @@ def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
                      n_iter: int = 30,
                      eps: float = 1e-7,
                      cur_pad=None, ref_pad=None,
-                     unroll: int = 3) -> AlignResult:
-    """Coarse-to-fine sparse image alignment. Returns refined T_cur_ref."""
+                     unroll: int = 3, robust: bool = False) -> AlignResult:
+    """Coarse-to-fine sparse image alignment. Returns refined T_cur_ref.
+
+    robust=True enables the reference's optional (default-off) Tukey/MAD
+    weighting of the photometric residuals (vk::NLLSSolver weight
+    function hook, sparse_img_align.cpp:82-83)."""
     T = T_cur_ref_init
     p_ref = feats_f * feats_depth[:, None]
     n_meas = jnp.int32(0)
@@ -290,6 +303,7 @@ def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
             feats_valid, level, ref_pad=ref_pad)
         T, n_meas, H, chi2 = _level_gn(
             cur_pyr[level], cam, T, p_ref, ref_patch, jac, valid,
-            level, n_iter, eps, cur_pad=cur_pad, unroll=unroll)
+            level, n_iter, eps, cur_pad=cur_pad, unroll=unroll,
+            robust=robust)
     n_tracked = (n_meas // PATCH_AREA).astype(jnp.int32)
     return AlignResult(T, n_tracked, H, chi2)

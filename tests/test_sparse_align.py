@@ -78,3 +78,34 @@ def test_align_identity_is_fixed_point(setup):
                            px, f, d, valid, max_level=4, min_level=0)
     assert float(jnp.linalg.norm(res.T_cur_ref.t)) < 1e-4
     assert float(res.chi2) < 1e-4
+
+
+def test_align_robust_weights_resist_occlusion(setup):
+    """The optional Tukey/MAD robust weighting (the reference's
+    vk::NLLSSolver weight-function hook, sparse_img_align.cpp:82-83,
+    default-off) must (a) keep accuracy on clean frames and (b) beat the
+    unweighted solver when part of the current image is occluded."""
+    ds, pyr0, T0, px, f, d, valid = setup
+    img_i, _, T_i = ds.frame(1)
+    T_gt = T_i.inverse() * T0
+    # occlude a quadrant of the current image (gross photometric outliers)
+    img_occ = np.asarray(img_i).copy()
+    img_occ[:200, :300] = 0.0
+    pyr_occ = build_pyramid(jnp.asarray(img_occ), 5)
+
+    errs = {}
+    for robust in (False, True):
+        res = sparse_img_align(pyr0, pyr_occ, ds.cam, SE3.identity(),
+                               px, f, d, valid, max_level=4, min_level=0,
+                               robust=robust)
+        errs[robust] = float(jnp.linalg.norm(res.T_cur_ref.t - T_gt.t))
+    assert errs[True] < errs[False] * 0.8, errs
+    assert errs[True] < 0.01, errs
+
+    # clean-frame sanity: robust mode stays accurate
+    pyr_i = build_pyramid(img_i, 5)
+    res = sparse_img_align(pyr0, pyr_i, ds.cam, SE3.identity(),
+                           px, f, d, valid, max_level=4, min_level=0,
+                           robust=True)
+    err = float(jnp.linalg.norm(res.T_cur_ref.t - T_gt.t))
+    assert err < 2e-3, err
