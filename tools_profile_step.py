@@ -18,11 +18,12 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from rpg_svo_tpu.config import fast_preset
+from rpg_svo_tpu.config import fast_preset, accurate_preset
 from rpg_svo_tpu.core.pipeline import FrameHandler
 from rpg_svo_tpu.core import fused
 from rpg_svo_tpu.utils.synthetic import SyntheticDataset
 
+PRESET = os.environ.get("PROF_PRESET", "fast")
 n_frames = int(os.environ.get("PROF_FRAMES", "40"))
 CHUNK = int(os.environ.get("PROF_CHUNK", "10"))
 # the traced slices below are imgs[CHUNK:2C] and imgs[2C:3C] of the
@@ -32,9 +33,14 @@ assert n_frames >= 3 * CHUNK + 1, \
     f"PROF_FRAMES={n_frames} must be >= 3*PROF_CHUNK+1={3 * CHUNK + 1}"
 ds = SyntheticDataset(n_frames=n_frames, trajectory="circle",
                       radius=0.25, revolutions=0.5)
-cfg = fast_preset(grid_size=int(os.environ.get("BENCH_GRID", "25")),
-                  epi_max_steps=int(os.environ.get("BENCH_EPI", "128")),
-                  df_update_k=int(os.environ.get("BENCH_K", "512")))
+_kw = dict(grid_size=int(os.environ.get("BENCH_GRID", "25")),
+           epi_max_steps=int(os.environ.get("BENCH_EPI", "128")),
+           df_update_k=int(os.environ.get("BENCH_K", "512")))
+if PRESET == "accurate":
+    # must mirror bench.py::make_cfg exactly to hit the same cached program
+    cfg = accurate_preset(epi_short_steps=16, epi_long_k=128, **_kw)
+else:
+    cfg = fast_preset(**_kw)
 fh = FrameHandler(ds.cam, cfg)
 imgs = []
 for i in range(n_frames):
