@@ -94,19 +94,40 @@ def _residuals_jacobians(prob: BAProblem, R, t, p_w, huber_k):
     return r, Jc, Jp, w
 
 
+def _chi2(prob: BAProblem, R, t, p_w, huber_k):
+    """Robust chi2 without building the Jacobian stacks (the rollback /
+    init evaluations only need residuals and weights — the (P, M, 2, 6)
+    Jc stack pads to (8, 128) on TPU and is the bulk of a full
+    _residuals_jacobians call)."""
+    K = R.shape[0]
+    cam = jnp.clip(prob.obs_cam, 0, K - 1)
+    p_cam = jnp.einsum("pmij,pj->pmi", R[cam], p_w) + t[cam]
+    r = project2d(prob.obs_f) - project2d(p_cam)
+    sinfo = 1.0 / (2.0 ** prob.obs_level.astype(jnp.float32))
+    rn = jnp.linalg.norm(r, axis=-1) * sinfo
+    w = huber_weight(rn / jnp.maximum(huber_k, 1e-12)) * sinfo * sinfo
+    w = jnp.where(prob.obs_mask & prob.p_valid[:, None], w, 0.0)
+    return jnp.sum(w * jnp.sum(r * r, -1))
+
+
 def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping):
     """One Schur GN step. Returns (R', t', p_w', chi2)."""
     K = R.shape[0]
     r, Jc, Jp, w = _residuals_jacobians(prob, R, t, p_w, huber_k)
     chi2 = jnp.sum(w * jnp.sum(r * r, -1))
-    cam = jnp.clip(prob.obs_cam, 0, K - 1).reshape(-1)   # (P*M,)
+    camPM = jnp.clip(prob.obs_cam, 0, K - 1)
+    # per-observation camera one-hot: EVERY per-camera reduction below is
+    # an MXU matmul against it.  [segment_sum over the P*M rows scattered
+    # at the gather/scatter latency floor — 7.5 ms/frame across U, b_c
+    # and the rhs correction at the accurate preset — and the (P*M, 6, 6)
+    # segment operand padded its (6, 6) minors to (8, 128): 1.1 GB.]
+    E = jax.nn.one_hot(camPM, K, dtype=Jc.dtype)         # (P, M, K)
 
-    # camera blocks U (K, 6, 6) and rhs b_c (K, 6) via segment sums
+    # camera blocks U (K, 6, 6) and rhs b_c (K, 6)
     JcW = Jc * w[..., None, None]
-    U_obs = jnp.einsum("pmia,pmib->pmab", JcW, Jc).reshape(-1, 6, 6)
-    U = jax.ops.segment_sum(U_obs, cam, num_segments=K)
-    bc_obs = -jnp.einsum("pmia,pmi->pma", JcW, r).reshape(-1, 6)
-    b_c = jax.ops.segment_sum(bc_obs, cam, num_segments=K)
+    G = jnp.einsum("pmia,pmib->abpm", JcW, Jc)           # (6, 6, P, M)
+    U = jnp.einsum("abpm,pmk->kab", G, E)
+    b_c = -jnp.einsum("pmia,pmi,pmk->ka", JcW, r, E)
 
     # point blocks V (P, 3, 3), b_p (P, 3), couplings W (P, M, 6, 3)
     V = jnp.einsum("pmia,pmib,pm->pab", Jp, Jp, w)
@@ -123,15 +144,11 @@ def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping):
     # P*M^2-row scatter.  This form is O(P*K*18) with the big axes minor
     # ((6, 3, P, K) layouts) and contracts on the MXU instead.]
     WV = jnp.einsum("pmab,pbc->pmac", Wc, Vinv)          # (P, M, 6, 3)
-    camPM = jnp.clip(prob.obs_cam, 0, K - 1)
-    E = jax.nn.one_hot(camPM, K, dtype=Wc.dtype)         # (P, M, K)
     A = jnp.einsum("pmk,pmac->acpk", E, WV)              # (6, 3, P, K)
     B = jnp.einsum("pmk,pmbc->bcpk", E, Wc)              # (6, 3, P, K)
     S = -jnp.einsum("acpk,bcpl->klab", A, B)             # (K, K, 6, 6)
     S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
-    rhs_p = jnp.einsum("pmac,pc->pma", WV, b_p)          # (P, M, 6)
-    rhs = b_c - jax.ops.segment_sum(rhs_p.reshape(-1, 6), cam,
-                                    num_segments=K)
+    rhs = b_c - jnp.einsum("pmac,pc,pmk->ka", WV, b_p, E)
 
     # fixed cameras: identity rows/cols, zero rhs
     var = prob.cam_variable
@@ -164,9 +181,8 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
     """Robust GN with chi2 rollback; prunes outlier observations at the
     end like the reference's edge removal (bundle_adjustment.cpp:96-116,
     222-250)."""
-    r0, _, _, w0 = _residuals_jacobians(prob, prob.R, prob.t, prob.p_w,
-                                        jnp.float32(huber_width))
-    chi2_init = jnp.sum(w0 * jnp.sum(r0 * r0, -1))
+    chi2_init = _chi2(prob, prob.R, prob.t, prob.p_w,
+                      jnp.float32(huber_width))
 
     def make_body(pb):
         def body(_, carry):
@@ -175,9 +191,7 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
                                         jnp.float32(huber_width), damping)
             bad = jnp.isnan(chi2) | jnp.any(jnp.isnan(tn)) \
                 | jnp.any(jnp.isnan(pn))
-            rn_, _, _, wn_ = _residuals_jacobians(
-                pb, Rn, tn, pn, jnp.float32(huber_width))
-            chi2_new = jnp.sum(wn_ * jnp.sum(rn_ * rn_, -1))
+            chi2_new = _chi2(pb, Rn, tn, pn, jnp.float32(huber_width))
             improve = (chi2_new < best) & (~bad)
             R = jnp.where(improve, Rn, R)
             t = jnp.where(improve, tn, t)
@@ -201,9 +215,7 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
     keep = prob.obs_mask & (jnp.linalg.norm(res_m, axis=-1)
                             < 3.0 * reproj_thresh_unitplane)
     prob2 = prob._replace(obs_mask=keep)
-    r1, _, _, w1 = _residuals_jacobians(prob2, R, t, p,
-                                        jnp.float32(huber_width))
-    chi2_1 = jnp.sum(w1 * jnp.sum(r1 * r1, -1))
+    chi2_1 = _chi2(prob2, R, t, p, jnp.float32(huber_width))
     R, t, p, chi2_final, _ = jax.lax.fori_loop(
         0, n_iter - n1, make_body(prob2),
         (R, t, p, chi2_1, jnp.float32(1e-4)))

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.geometry.cameras import project2d
-from rpg_svo_tpu.ba.schur import BAProblem, _residuals_jacobians
+from rpg_svo_tpu.ba.schur import BAProblem, _residuals_jacobians, _chi2
 
 
 def _local_blocks(prob_shard: BAProblem, R, t, p_w, huber_k, damping):
@@ -35,15 +35,16 @@ def _local_blocks(prob_shard: BAProblem, R, t, p_w, huber_k, damping):
     r, Jc, Jp, w = _residuals_jacobians(prob_shard, R, t, p_w, huber_k)
     chi2 = jnp.sum(w * jnp.sum(r * r, -1))
     cam = jnp.clip(prob_shard.obs_cam, 0, K - 1)
-    camf = cam.reshape(-1)
+    # every per-camera reduction is a matmul against the observation
+    # one-hot (same layout reasoning as ba.schur._gn_step: segment_sum
+    # scatters P*M rows at the scatter latency floor, and its (.., 6, 6)
+    # operand pads to (8, 128))
+    E = jax.nn.one_hot(cam, K, dtype=Jc.dtype)           # (P, M, K)
 
     JcW = Jc * w[..., None, None]
-    U = jax.ops.segment_sum(
-        jnp.einsum("pmia,pmib->pmab", JcW, Jc).reshape(-1, 6, 6),
-        camf, num_segments=K)
-    b_c = jax.ops.segment_sum(
-        -jnp.einsum("pmia,pmi->pma", JcW, r).reshape(-1, 6),
-        camf, num_segments=K)
+    G = jnp.einsum("pmia,pmib->abpm", JcW, Jc)           # (6, 6, P, M)
+    U = jnp.einsum("abpm,pmk->kab", G, E)
+    b_c = -jnp.einsum("pmia,pmi,pmk->ka", JcW, r, E)
 
     V = jnp.einsum("pmia,pmib,pm->pab", Jp, Jp, w)
     b_p = -jnp.einsum("pmia,pmi,pm->pa", Jp, r, w)
@@ -51,16 +52,13 @@ def _local_blocks(prob_shard: BAProblem, R, t, p_w, huber_k, damping):
     Vinv = jnp.linalg.inv(V + (1e-6 + damping) * jnp.eye(3))
     Vinv = jnp.where(prob_shard.p_valid[:, None, None], Vinv, 0.0)
 
-    # per-point per-camera couplings via one-hot matmuls (same layout
-    # reasoning as ba.schur._gn_step: no (P, M, M, 6, 6) cross tensor)
+    # per-point per-camera couplings via one-hot matmuls (no
+    # (P, M, M, 6, 6) cross tensor)
     WV = jnp.einsum("pmab,pbc->pmac", Wc, Vinv)
-    E = jax.nn.one_hot(cam, K, dtype=Wc.dtype)           # (P, M, K)
     A_ = jnp.einsum("pmk,pmac->acpk", E, WV)             # (6, 3, P, K)
     B_ = jnp.einsum("pmk,pmbc->bcpk", E, Wc)             # (6, 3, P, K)
     S_corr = jnp.einsum("acpk,bcpl->klab", A_, B_)       # (K, K, 6, 6)
-    rhs_corr = jax.ops.segment_sum(
-        jnp.einsum("pmac,pc->pma", WV, b_p).reshape(-1, 6),
-        camf, num_segments=K)
+    rhs_corr = jnp.einsum("pmac,pc,pmk->ka", WV, b_p, E)
     return U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, cam), chi2
 
 
@@ -110,11 +108,9 @@ def distributed_ba_solve(mesh: Mesh, prob: BAProblem, n_iter: int = 10,
             T_new = SE3.exp(dx_c) * SE3(R, t)
             p_new = p + dx_p
             # chi2 rollback (global reduction)
-            r_, _, _, w_ = _residuals_jacobians(
-                shard._replace(p_w=p_new), T_new.R, T_new.t, p_new,
-                jnp.float32(huber_width))
-            chi2_new = jax.lax.psum(jnp.sum(w_ * jnp.sum(r_ * r_, -1)),
-                                    axis)
+            chi2_new = jax.lax.psum(
+                _chi2(shard._replace(p_w=p_new), T_new.R, T_new.t,
+                      p_new, jnp.float32(huber_width)), axis)
             ok = (chi2_new < best) & jnp.isfinite(chi2_new)
             R = jnp.where(ok, T_new.R, R)
             t = jnp.where(ok, T_new.t, t)
@@ -124,9 +120,8 @@ def distributed_ba_solve(mesh: Mesh, prob: BAProblem, n_iter: int = 10,
                 jnp.where(ok, damping * 0.5, damping * 8.0), 1e-8, 1e2)
             return R, t, p, best, damping
 
-        r0, _, _, w0 = _residuals_jacobians(shard, R, t, p_w,
-                                            jnp.float32(huber_width))
-        chi2_0 = jax.lax.psum(jnp.sum(w0 * jnp.sum(r0 * r0, -1)), axis)
+        chi2_0 = jax.lax.psum(
+            _chi2(shard, R, t, p_w, jnp.float32(huber_width)), axis)
         R, t, p, chi2, _ = jax.lax.fori_loop(
             0, n_iter, body, (R, t, p_w, chi2_0, jnp.float32(1e-4)))
         return R, t, p, chi2
