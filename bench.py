@@ -82,8 +82,15 @@ def run_preset(preset: str, ds, imgs, first, n_frames: int, chunk: int,
     T = imgs.shape[0]
     n_warm = min(chunk, T - 1)
     if mode == "scan":
+        # compile-time guard: the warmup call compiles (or cache-loads)
+        # the program; log it so compile-time regressions are visible in
+        # every bench record (fresh two-tier compiles have ranged 2-25
+        # minutes on this backend — a bad op pattern shows up here first)
+        t_c = time.perf_counter()
         state, outs = scan(state, imgs[:n_warm])
         jax.block_until_ready(outs.t_wc)
+        print(f"# {preset}: compile+warmup "
+              f"{time.perf_counter() - t_c:.1f}s", file=sys.stderr)
         n_chunks = (T - n_warm) // chunk
         t0 = time.perf_counter()
         all_pos = []

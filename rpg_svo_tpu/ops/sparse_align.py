@@ -217,6 +217,9 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
         # damped solve for safety at coarse levels
         x = solve6x6_spd(H + 1e-8 * jnp.eye(6, dtype=H.dtype), Jres)
         bad = jnp.any(jnp.isnan(x)) | (chi2 > best_chi2 * 1.0)
+        # chi2 plateau: this iteration's evaluation improved on the
+        # best-so-far by < 0.01% — the level is at its noise floor
+        plateau = (i > 0) & (chi2 > best_chi2 * (1.0 - 1e-4))
         T_new = T * SE3.exp(-x)
         # rollback semantics: keep best pose seen so far
         better = (~done) & (chi2 <= best_chi2)
@@ -227,7 +230,11 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
             lambda cur, bst, new: jnp.where(
                 done, cur, jnp.where(bad & (i > 0), bst, new)),
             T, best_T, T_new)
-        converged = jnp.max(jnp.abs(x)) < eps
+        # eps step test + the plateau stop: without the latter the eps
+        # test almost never fires and every level burns its full
+        # 30-iteration budget (measured: the GN loop was 687 of the
+        # ~3000 kernels/frame of the fused step, pure dispatch load)
+        converged = (jnp.max(jnp.abs(x)) < eps) | plateau
         # reference semantics (vk::NLLSSolver Gauss-Newton): a chi2
         # increase rolls back AND STOPS the level — without this the
         # loop burns the full 30-iteration budget every level
