@@ -63,44 +63,47 @@ def solve2x2(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def cholesky6x6(A: jnp.ndarray) -> jnp.ndarray:
-    """Unrolled Cholesky factor of a (6, 6) SPD matrix (lower L)."""
-    n = 6
-    L = [[None] * n for _ in range(n)]
+    """Unrolled Cholesky factor of a (6, 6) SPD matrix (lower L).
+
+    Vector form: each column is built as a masked (6,) vector and added
+    into L with an outer product — everything fuses into a handful of
+    elementwise kernels.  [The earlier scalar form stacked 6 scalars per
+    row (jnp.stack = a concatenate kernel with 6 producers): those
+    concatenates stalled the TPU scalar pipeline ~3.7 us each and were
+    the largest single inter-kernel-gap source of the fused VO step —
+    0.36 ms/frame of gaps before concatenates in the GN loop.]
+
+    An indefinite/degenerate system yields NaN (sqrt of a negative),
+    matching the LU behavior the GN rollback logic keys on."""
+    n = A.shape[-1]
+    idx = jnp.arange(n)
+    L = jnp.zeros_like(A)
     for j in range(n):
-        s = A[j, j]
-        for k in range(j):
-            s = s - L[j][k] * L[j][k]
-        # no clamp: an indefinite/degenerate system yields NaN, matching
-        # the LU behavior the GN rollback logic keys on
-        Ljj = jnp.sqrt(s)
-        L[j][j] = Ljj
-        for i in range(j + 1, n):
-            s = A[i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            L[i][j] = s / Ljj
-    rows = [jnp.stack([L[i][j] if j <= i else jnp.zeros_like(A[0, 0])
-                       for j in range(n)]) for i in range(n)]
-    return jnp.stack(rows)
+        s = A[:, j] - jnp.sum(L[:, :j] * L[j, :j][None, :], axis=-1) \
+            if j > 0 else A[:, j]
+        d = jnp.sqrt(s[j])
+        col = jnp.where(idx == j, d,
+                        jnp.where(idx > j, s / d, jnp.zeros_like(s)))
+        L = L + col[:, None] * (idx == j).astype(A.dtype)[None, :]
+    return L
 
 
 def solve6x6_spd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve a damped-SPD 6x6 system by unrolled Cholesky (no custom-call;
     fuses into the surrounding GN iteration instead of a serial LU
-    kernel launch)."""
+    kernel launch).  Substitutions are masked (6,)-vector updates — no
+    scalar stacks (see cholesky6x6)."""
     L = cholesky6x6(A)
-    # forward substitution L y = b
-    y = [None] * 6
-    for i in range(6):
-        s = b[i]
-        for k in range(i):
-            s = s - L[i, k] * y[k]
-        y[i] = s / L[i, i]
-    # back substitution L^T x = y
-    x = [None] * 6
-    for i in reversed(range(6)):
-        s = y[i]
-        for k in range(i + 1, 6):
-            s = s - L[k, i] * x[k]
-        x[i] = s / L[i, i]
-    return jnp.stack(x)
+    n = b.shape[-1]
+    idx = jnp.arange(n)
+    y = jnp.zeros_like(b)
+    for i in range(n):
+        # y[k] = 0 for k >= i, so the full row dot only sums k < i
+        yi = (b[i] - jnp.sum(L[i, :] * y)) / L[i, i]
+        y = y + yi * (idx == i).astype(b.dtype)
+    x = jnp.zeros_like(b)
+    for i in reversed(range(n)):
+        # x[k] = 0 for k <= i, so the full column dot only sums k > i
+        xi = (y[i] - jnp.sum(L[:, i] * x)) / L[i, i]
+        x = x + xi * (idx == i).astype(b.dtype)
+    return x
