@@ -48,6 +48,8 @@ def make_cfg(preset: str):
               df_update_k=int(os.environ.get("BENCH_K", "512")))
     if os.environ.get("BENCH_SCANROWS"):
         kw["epi_scan_rows"] = int(os.environ["BENCH_SCANROWS"])
+    if os.environ.get("BENCH_UNROLL"):
+        kw["img_align_unroll"] = int(os.environ["BENCH_UNROLL"])
     if preset == "accurate":
         # full preset defaults (max_points=16384, max_obs=16): the Schur
         # cross-blocks are assembled via one-hot camera couplings

@@ -295,12 +295,14 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
                 shard_axis=cfg.shard_axis,
                 scan_rows=cfg.epi_scan_rows)
 
-        if cfg.df_update_every > 1:
-            upd = jax.lax.cond(
-                due, do_update,
-                lambda _: df.identity_seed_update(mm.seed), None)
-        else:
-            upd = do_update(None)
+        # gate on actual work, not just cadence: with every seed
+        # converged (long stretches of steady-state tracking) the
+        # K-compacted scan is a full-cost no-op — its shapes are static
+        due_work = due & df.has_update_work(mm, T_out, cam,
+                                            max_n_kfs=cfg.df_max_kf_age)
+        upd = jax.lax.cond(
+            due_work, do_update,
+            lambda _: df.identity_seed_update(mm.seed), None)
         m = df.apply_seed_update(m, upd)
 
     # --- keyframe insertion ------------------------------------------------
