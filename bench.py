@@ -45,7 +45,10 @@ def make_cfg(preset: str):
     # median translation error to 128 (tools_batch_r2b) at +10% fps
     kw = dict(grid_size=int(os.environ.get("BENCH_GRID", "25")),
               epi_max_steps=int(os.environ.get("BENCH_EPI", "64")),
-              df_update_k=int(os.environ.get("BENCH_K", "512")))
+              # K=256: identical median terr to 512 (2.39 mm) at +6%
+              # fps — the eligible-seed population fits; overflow seeds
+              # defer to the next frame (two-tier budget semantics)
+              df_update_k=int(os.environ.get("BENCH_K", "256")))
     if os.environ.get("BENCH_SCANROWS"):
         kw["epi_scan_rows"] = int(os.environ["BENCH_SCANROWS"])
     if os.environ.get("BENCH_UNROLL"):

@@ -39,10 +39,14 @@ def run_preset(name: str, n_frames: int, chunk: int):
     ds = SyntheticDataset(n_frames=n_frames, trajectory="circle",
                           radius=0.25, revolutions=0.5)
     if name == "fast":
-        cfg = fast_preset(grid_size=25, epi_max_steps=128, df_update_k=512)
+        # mirror bench.py's fast config (incl. the two-tier scan knobs
+        # the preset carries) so the accuracy artifact measures the same
+        # program the throughput metric reports
+        cfg = fast_preset(grid_size=25, epi_max_steps=64, df_update_k=256)
     else:
-        cfg = accurate_preset(grid_size=25, epi_max_steps=128,
-                              df_update_k=512, loba_num_iter=10)
+        cfg = accurate_preset(grid_size=25, epi_max_steps=64,
+                              df_update_k=256, loba_num_iter=10,
+                              epi_short_steps=16, epi_long_k=128)
     fh = FrameHandler(ds.cam, cfg)
     imgs = []
     for i in range(n_frames):
@@ -66,13 +70,13 @@ def run_preset(name: str, n_frames: int, chunk: int):
     for lo in range(0, T - (T % chunk), chunk):
         state, outs = scan(state, imgs[lo: lo + chunk])
         pos.append(outs.t_wc)
-        rot.append(outs.q_flat)
+        rot.append(outs.R_fw)
         failed.append(outs.failed)
         outs.t_wc.block_until_ready()
     dt = time.perf_counter() - t0
     n = sum(p.shape[0] for p in pos)
     est_t = np.asarray(jnp.concatenate(pos))
-    # q_flat is R of T_f_w (world->cam); T_w_c rotation is its transpose
+    # R_fw is R of T_f_w (world->cam); T_w_c rotation is its transpose
     est_R = np.asarray(jnp.concatenate(rot)).reshape(-1, 3, 3)
     est_R = np.swapaxes(est_R, 1, 2)
     n_failed = int(np.asarray(jnp.concatenate(failed)).sum())

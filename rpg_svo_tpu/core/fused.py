@@ -75,7 +75,7 @@ class StepOut(NamedTuple):
     failed: jnp.ndarray
     stage: jnp.ndarray
     t_wc: jnp.ndarray           # (3,) camera position in world
-    q_flat: jnp.ndarray         # (9,) rotation flattened (T_f_w)
+    R_fw: jnp.ndarray           # (3, 3) rotation of T_f_w
 
 
 def state_from_handler(fh) -> VOState:
@@ -416,7 +416,7 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     T_wc = T_out.inverse()
     out = StepOut(rep.n_matches, pres.n_obs,
                   is_kf, failed, new_stage,
-                  T_wc.t, T_out.R.reshape(-1))
+                  T_wc.t, T_out.R)
     return new_state, out
 
 
