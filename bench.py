@@ -58,6 +58,12 @@ def make_cfg(preset: str):
         # cross-blocks are assembled via one-hot camera couplings
         # (ba/schur.py), so the reduced camera system no longer
         # materializes a (P, M+1, M+1, 6, 6) buffer that outgrew HBM
+        if os.environ.get("BENCH_MAXPTS"):      # accuracy-bisect hooks
+            kw["max_points"] = int(os.environ["BENCH_MAXPTS"])
+        if os.environ.get("BENCH_MAXOBS"):
+            kw["max_obs_per_point"] = int(os.environ["BENCH_MAXOBS"])
+        if os.environ.get("BENCH_LOBA"):
+            kw["loba_num_iter"] = int(os.environ["BENCH_LOBA"])
         return accurate_preset(epi_short_steps=16, epi_long_k=128, **kw)
     return fast_preset(**kw)
 

@@ -38,6 +38,9 @@ from rpg_svo_tpu.ops.interp import bilinear, patch_grid
 PATCH_HALFSIZE = 2
 PATCH_SIZE = 2 * PATCH_HALFSIZE
 PATCH_AREA = PATCH_SIZE * PATCH_SIZE
+# the Pallas whole-level GN kernel mirrors this geometry; keep in sync
+from rpg_svo_tpu.ops import pallas_align as _pk
+assert (_pk.PATCH_HALFSIZE, _pk.PATCH_SIZE) == (PATCH_HALFSIZE, PATCH_SIZE)
 # Per-feature tile slack (px at the working level): the tile around each
 # feature's initial projection is gathered ONCE per level; every GN
 # iteration samples the moving 4x4 window from it with dense one-hot
@@ -279,7 +282,7 @@ def _level_gn(cur_img, cam, T_init: SE3, p_ref, ref_patch, jac, valid,
 
 @functools.partial(jax.jit, static_argnames=("max_level", "min_level",
                                              "n_iter", "eps", "unroll",
-                                             "robust"))
+                                             "robust", "use_kernel"))
 def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
                      cur_pyr: Tuple[jnp.ndarray, ...],
                      cam,
@@ -293,12 +296,21 @@ def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
                      n_iter: int = 30,
                      eps: float = 1e-7,
                      cur_pad=None, ref_pad=None,
-                     unroll: int = 3, robust: bool = False) -> AlignResult:
+                     unroll: int = 3, robust: bool = False,
+                     use_kernel=None) -> AlignResult:
     """Coarse-to-fine sparse image alignment. Returns refined T_cur_ref.
 
     robust=True enables the reference's optional (default-off) Tukey/MAD
     weighting of the photometric residuals (vk::NLLSSolver weight
-    function hook, sparse_img_align.cpp:82-83)."""
+    function hook, sparse_img_align.cpp:82-83).
+
+    use_kernel: None = auto (Pallas whole-level GN kernel on TPU for
+    pinhole cameras, XLA loop otherwise); True/False forces a path
+    (True uses interpret mode off-TPU — for tests)."""
+    from rpg_svo_tpu.ops import pallas_align
+    if use_kernel is None:
+        use_kernel = pallas_align.use_align_kernel(cam, cur_pad, robust)
+    interp = jax.default_backend() == "cpu"
     T = T_cur_ref_init
     p_ref = feats_f * feats_depth[:, None]
     n_meas = jnp.int32(0)
@@ -308,9 +320,14 @@ def sparse_img_align(ref_pyr: Tuple[jnp.ndarray, ...],
         ref_patch, jac, valid = _precompute_level(
             ref_pyr[level], cam.fx, feats_px, feats_f, feats_depth,
             feats_valid, level, ref_pad=ref_pad)
-        T, n_meas, H, chi2 = _level_gn(
-            cur_pyr[level], cam, T, p_ref, ref_patch, jac, valid,
-            level, n_iter, eps, cur_pad=cur_pad, unroll=unroll,
-            robust=robust)
+        if use_kernel:
+            T, n_meas, H, chi2 = pallas_align.level_gn_kernel(
+                cur_pad, cam, T, p_ref, ref_patch, jac, valid,
+                level, n_iter, eps, interpret=interp)
+        else:
+            T, n_meas, H, chi2 = _level_gn(
+                cur_pyr[level], cam, T, p_ref, ref_patch, jac, valid,
+                level, n_iter, eps, cur_pad=cur_pad, unroll=unroll,
+                robust=robust)
     n_tracked = (n_meas // PATCH_AREA).astype(jnp.int32)
     return AlignResult(T, n_tracked, H, chi2)
