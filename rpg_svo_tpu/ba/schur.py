@@ -36,6 +36,15 @@ from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.geometry.cameras import project2d
 from rpg_svo_tpu.ops.robust import huber_weight
 
+# TPU matmul precision: XLA's DEFAULT truncates einsum operands to
+# bfloat16 on the MXU.  The one-hot Schur assembly contracts over
+# P*M ~ 3e5 observation rows, and bf16-truncated Jacobian products
+# put ~2e-4 relative error into U/S/rhs (measured on-device; the
+# exact segment_sum path was 3e-6) — enough to regress the accurate
+# preset's median trajectory error ~1 mm.  HIGHEST restores f32
+# accumulation at ~12%% extra time on the assembly matmuls.
+_ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 class BAProblem(NamedTuple):
     R: jnp.ndarray          # (K, 3, 3) T_f_w per camera
@@ -67,7 +76,7 @@ def _residuals_jacobians(prob: BAProblem, R, t, p_w, huber_k):
     cam = jnp.clip(prob.obs_cam, 0, K - 1)
     Rc = R[cam]                              # (P, M, 3, 3)
     tc = t[cam]
-    p_cam = jnp.einsum("pmij,pj->pmi", Rc, p_w) + tc
+    p_cam = _ein("pmij,pj->pmi", Rc, p_w) + tc
     r = project2d(prob.obs_f) - project2d(p_cam)        # (P, M, 2)
     x, y = p_cam[..., 0], p_cam[..., 1]
     z = jnp.where(jnp.abs(p_cam[..., 2]) < 1e-10, 1e-10, p_cam[..., 2])
@@ -85,7 +94,7 @@ def _residuals_jacobians(prob: BAProblem, R, t, p_w, huber_k):
         jnp.stack([zi, zero, -x * zi2], axis=-1),
         jnp.stack([zero, zi, -y * zi2], axis=-1),
     ], axis=-2)
-    Jp = -jnp.einsum("pmij,pmjl->pmil", Jproj, Rc)      # (P, M, 2, 3)
+    Jp = -_ein("pmij,pmjl->pmil", Jproj, Rc)      # (P, M, 2, 3)
     # information: 1/2^level, robust Huber on the weighted residual norm
     sinfo = 1.0 / (2.0 ** prob.obs_level.astype(jnp.float32))
     rn = jnp.linalg.norm(r, axis=-1) * sinfo
@@ -101,7 +110,7 @@ def _chi2(prob: BAProblem, R, t, p_w, huber_k):
     _residuals_jacobians call)."""
     K = R.shape[0]
     cam = jnp.clip(prob.obs_cam, 0, K - 1)
-    p_cam = jnp.einsum("pmij,pj->pmi", R[cam], p_w) + t[cam]
+    p_cam = _ein("pmij,pj->pmi", R[cam], p_w) + t[cam]
     r = project2d(prob.obs_f) - project2d(p_cam)
     sinfo = 1.0 / (2.0 ** prob.obs_level.astype(jnp.float32))
     rn = jnp.linalg.norm(r, axis=-1) * sinfo
@@ -125,14 +134,14 @@ def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping):
 
     # camera blocks U (K, 6, 6) and rhs b_c (K, 6)
     JcW = Jc * w[..., None, None]
-    G = jnp.einsum("pmia,pmib->abpm", JcW, Jc)           # (6, 6, P, M)
-    U = jnp.einsum("abpm,pmk->kab", G, E)
-    b_c = -jnp.einsum("pmia,pmi,pmk->ka", JcW, r, E)
+    G = _ein("pmia,pmib->abpm", JcW, Jc)           # (6, 6, P, M)
+    U = _ein("abpm,pmk->kab", G, E)
+    b_c = -_ein("pmia,pmi,pmk->ka", JcW, r, E)
 
     # point blocks V (P, 3, 3), b_p (P, 3), couplings W (P, M, 6, 3)
-    V = jnp.einsum("pmia,pmib,pm->pab", Jp, Jp, w)
-    b_p = -jnp.einsum("pmia,pmi,pm->pa", Jp, r, w)
-    Wc = jnp.einsum("pmia,pmib,pm->pmab", Jc, Jp, w)    # (P, M, 6, 3)
+    V = _ein("pmia,pmib,pm->pab", Jp, Jp, w)
+    b_p = -_ein("pmia,pmi,pm->pa", Jp, r, w)
+    Wc = _ein("pmia,pmib,pm->pmab", Jc, Jp, w)    # (P, M, 6, 3)
     Vinv = jnp.linalg.inv(V + (1e-6 + damping) * jnp.eye(3))
     Vinv = jnp.where(prob.p_valid[:, None, None], Vinv, 0.0)
 
@@ -143,12 +152,12 @@ def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping):
     # tiling — 19.4 GB at the accurate preset (P=16384, M=17) — and fed a
     # P*M^2-row scatter.  This form is O(P*K*18) with the big axes minor
     # ((6, 3, P, K) layouts) and contracts on the MXU instead.]
-    WV = jnp.einsum("pmab,pbc->pmac", Wc, Vinv)          # (P, M, 6, 3)
-    A = jnp.einsum("pmk,pmac->acpk", E, WV)              # (6, 3, P, K)
-    B = jnp.einsum("pmk,pmbc->bcpk", E, Wc)              # (6, 3, P, K)
-    S = -jnp.einsum("acpk,bcpl->klab", A, B)             # (K, K, 6, 6)
+    WV = _ein("pmab,pbc->pmac", Wc, Vinv)          # (P, M, 6, 3)
+    A = _ein("pmk,pmac->acpk", E, WV)              # (6, 3, P, K)
+    B = _ein("pmk,pmbc->bcpk", E, Wc)              # (6, 3, P, K)
+    S = -_ein("acpk,bcpl->klab", A, B)             # (K, K, 6, 6)
     S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
-    rhs = b_c - jnp.einsum("pmac,pc,pmk->ka", WV, b_p, E)
+    rhs = b_c - _ein("pmac,pc,pmk->ka", WV, b_p, E)
 
     # fixed cameras: identity rows/cols, zero rhs
     var = prob.cam_variable
@@ -166,8 +175,8 @@ def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping):
 
     # back-substitute point updates
     dxc_obs = dx_c[camPM]                                # (P, M, 6)
-    Wt_dxc = jnp.einsum("pmab,pma->pb", Wc, dxc_obs)     # (P, 3)
-    dx_p = jnp.einsum("pab,pb->pa", Vinv, b_p - Wt_dxc)
+    Wt_dxc = _ein("pmab,pma->pb", Wc, dxc_obs)     # (P, 3)
+    dx_p = _ein("pab,pb->pa", Vinv, b_p - Wt_dxc)
     dx_p = jnp.where(prob.p_valid[:, None], dx_p, 0.0)
 
     T_new = SE3.exp(dx_c) * SE3(R, t)
@@ -210,7 +219,7 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
     # prune outlier edges (reference: remove edges with chi2 > thresh
     # mid-way, bundle_adjustment.cpp:96-116) and re-solve on inliers
     cam_m = jnp.clip(prob.obs_cam, 0, R.shape[0] - 1)
-    p_cam_m = jnp.einsum("pmij,pj->pmi", R[cam_m], p) + t[cam_m]
+    p_cam_m = _ein("pmij,pj->pmi", R[cam_m], p) + t[cam_m]
     res_m = project2d(prob.obs_f) - project2d(p_cam_m)
     keep = prob.obs_mask & (jnp.linalg.norm(res_m, axis=-1)
                             < 3.0 * reproj_thresh_unitplane)
@@ -222,7 +231,7 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
 
     # final outlier pruning on unit-plane residual norm
     cam = jnp.clip(prob.obs_cam, 0, R.shape[0] - 1)
-    p_cam = jnp.einsum("pmij,pj->pmi", R[cam], p) + t[cam]
+    p_cam = _ein("pmij,pj->pmi", R[cam], p) + t[cam]
     res = project2d(prob.obs_f) - project2d(p_cam)
     inlier = prob.obs_mask & (jnp.linalg.norm(res, axis=-1)
                               < reproj_thresh_unitplane) \

@@ -17,6 +17,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import functools as _ft
+# f32 MXU accumulation (see ba/schur.py precision note)
+_ein = _ft.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.ba.schur import BAProblem, solve_ba
 from rpg_svo_tpu.core.map import (
@@ -178,7 +182,7 @@ def run_global_ba(m: MapState, huber_width_px: jnp.ndarray,
     obs_cam, obs_f, obs_level, obs_mask = _extract_observations(m)
     # pre-filter: current reprojection error vs poseoptim threshold
     cam_safe = jnp.clip(obs_cam, 0, K - 1)
-    p_c = jnp.einsum("pmij,pj->pmi", kf.R[cam_safe], pt.pos) \
+    p_c = _ein("pmij,pj->pmi", kf.R[cam_safe], pt.pos) \
         + kf.t[cam_safe]
     err = project2d(obs_f) - project2d(p_c)
     err2 = jnp.sum(err * err, axis=-1)

@@ -20,6 +20,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+import functools as _ft
+# f32 MXU accumulation (see ba/schur.py precision note)
+_ein = _ft.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -42,23 +46,23 @@ def _local_blocks(prob_shard: BAProblem, R, t, p_w, huber_k, damping):
     E = jax.nn.one_hot(cam, K, dtype=Jc.dtype)           # (P, M, K)
 
     JcW = Jc * w[..., None, None]
-    G = jnp.einsum("pmia,pmib->abpm", JcW, Jc)           # (6, 6, P, M)
-    U = jnp.einsum("abpm,pmk->kab", G, E)
-    b_c = -jnp.einsum("pmia,pmi,pmk->ka", JcW, r, E)
+    G = _ein("pmia,pmib->abpm", JcW, Jc)           # (6, 6, P, M)
+    U = _ein("abpm,pmk->kab", G, E)
+    b_c = -_ein("pmia,pmi,pmk->ka", JcW, r, E)
 
-    V = jnp.einsum("pmia,pmib,pm->pab", Jp, Jp, w)
-    b_p = -jnp.einsum("pmia,pmi,pm->pa", Jp, r, w)
-    Wc = jnp.einsum("pmia,pmib,pm->pmab", Jc, Jp, w)
+    V = _ein("pmia,pmib,pm->pab", Jp, Jp, w)
+    b_p = -_ein("pmia,pmi,pm->pa", Jp, r, w)
+    Wc = _ein("pmia,pmib,pm->pmab", Jc, Jp, w)
     Vinv = jnp.linalg.inv(V + (1e-6 + damping) * jnp.eye(3))
     Vinv = jnp.where(prob_shard.p_valid[:, None, None], Vinv, 0.0)
 
     # per-point per-camera couplings via one-hot matmuls (no
     # (P, M, M, 6, 6) cross tensor)
-    WV = jnp.einsum("pmab,pbc->pmac", Wc, Vinv)
-    A_ = jnp.einsum("pmk,pmac->acpk", E, WV)             # (6, 3, P, K)
-    B_ = jnp.einsum("pmk,pmbc->bcpk", E, Wc)             # (6, 3, P, K)
-    S_corr = jnp.einsum("acpk,bcpl->klab", A_, B_)       # (K, K, 6, 6)
-    rhs_corr = jnp.einsum("pmac,pc,pmk->ka", WV, b_p, E)
+    WV = _ein("pmab,pbc->pmac", Wc, Vinv)
+    A_ = _ein("pmk,pmac->acpk", E, WV)             # (6, 3, P, K)
+    B_ = _ein("pmk,pmbc->bcpk", E, Wc)             # (6, 3, P, K)
+    S_corr = _ein("acpk,bcpl->klab", A_, B_)       # (K, K, 6, 6)
+    rhs_corr = _ein("pmac,pc,pmk->ka", WV, b_p, E)
     return U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, cam), chi2
 
 
@@ -102,8 +106,8 @@ def distributed_ba_solve(mesh: Mesh, prob: BAProblem, n_iter: int = 10,
             dx_c = _assemble_solve(U, b_c, S_corr, rhs_corr, var, damping)
             Wc, Vinv, b_p, cam = aux
             dxc_obs = dx_c[cam]
-            Wt_dxc = jnp.einsum("pmab,pma->pb", Wc, dxc_obs)
-            dx_p = jnp.einsum("pab,pb->pa", Vinv, b_p - Wt_dxc)
+            Wt_dxc = _ein("pmab,pma->pb", Wc, dxc_obs)
+            dx_p = _ein("pab,pb->pa", Vinv, b_p - Wt_dxc)
             dx_p = jnp.where(p_valid[:, None], dx_p, 0.0)
             T_new = SE3.exp(dx_c) * SE3(R, t)
             p_new = p + dx_p

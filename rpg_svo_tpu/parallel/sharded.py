@@ -22,6 +22,10 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+import functools as _ft
+# f32 MXU accumulation (see ba/schur.py precision note)
+_ein = _ft.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -64,8 +68,8 @@ def distributed_pose_gn_step(T: SE3, p_w: jnp.ndarray, f_meas: jnp.ndarray,
     w = tukey_weight(jnp.linalg.norm(e, axis=-1)
                      / jnp.maximum(scale, 1e-12))
     w = jnp.where(valid, w, 0.0)
-    H_local = jnp.einsum("nij,nik,n->jk", J, J, w)
-    b_local = -jnp.einsum("nij,ni,n->j", J, e, w)
+    H_local = _ein("nij,nik,n->jk", J, J, w)
+    b_local = -_ein("nij,ni,n->j", J, e, w)
     chi2_local = jnp.sum(jnp.sum(e * e, -1) * w)
     H = jax.lax.psum(H_local, axis)
     b = jax.lax.psum(b_local, axis)

@@ -78,7 +78,12 @@ def test_sharded_seed_update_matches_batched():
 
 
 def test_multistream_step_shard_map():
-    """4 independent camera streams, one per device, via shard_map."""
+    """4 DIVERGENT camera streams, one per device, via shard_map.
+
+    Each stream carries a different state (the same bootstrap advanced a
+    different number of frames) and receives a different image; every
+    stream's output must equal its own single-stream vo_step — i.e. the
+    batch dimension is truly independent, not just replicated."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh
@@ -99,27 +104,36 @@ def test_multistream_step_shard_map():
     fh = FrameHandler(ds.cam, cfg)
     img0, depth0, T0 = ds.frame(0)
     fh.set_first_frame_with_depth(img0, T0.inverse(), depth0)
-    for i in range(1, 8):
+    # stream b = bootstrap advanced to frame 7+b; next image frame 8+b
+    stream_states = []
+    for i in range(1, 7 + B):
         fh.add_image(ds.frame(i)[0], timestamp=i / 50)
-    s0 = fused.state_from_handler(fh)
-    states = stack_states([s0] * B)
-    imgs = jnp.stack([ds.frame(8)[0]] * B)
+        if i >= 7:
+            stream_states.append(fused.state_from_handler(fh))
+    assert len(stream_states) == B
+    states = stack_states(stream_states)
+    imgs = jnp.stack([ds.frame(8 + b)[0] for b in range(B)])
     states2, out = multistream_step(mesh, states, imgs, ds.cam, cfg,
                                     fh.ncx, fh.ncy, fh.img_shape)
     assert out.t_wc.shape == (B, 3)
     assert not bool(out.failed.any())
-    # identical streams give identical results
-    assert np.allclose(np.asarray(out.t_wc[0]), np.asarray(out.t_wc[1]))
-    # and match the single-stream step
-    _, out1 = fused.vo_step(s0, ds.frame(8)[0], ds.cam, cfg,
-                            fh.ncx, fh.ncy, fh.img_shape)
-    assert np.allclose(np.asarray(out.t_wc[0]), np.asarray(out1.t_wc),
-                       atol=1e-5)
-    # vmapped variant agrees too
+    # every stream matches its own single-stream run
+    outs1 = []
+    for b in range(B):
+        _, out1 = fused.vo_step(stream_states[b], ds.frame(8 + b)[0],
+                                ds.cam, cfg, fh.ncx, fh.ncy, fh.img_shape)
+        outs1.append(out1)
+        assert np.allclose(np.asarray(out.t_wc[b]), np.asarray(out1.t_wc),
+                           atol=1e-5), b
+    # the streams really diverged (different poses per stream)
+    spread = np.ptp(np.asarray(out.t_wc), axis=0).max()
+    assert spread > 1e-4, spread
+    # vmapped variant agrees per stream too
     _, outv = vmapped_vo_step(states, imgs, ds.cam, cfg,
                               fh.ncx, fh.ncy, fh.img_shape)
-    assert np.allclose(np.asarray(outv.t_wc[0]), np.asarray(out1.t_wc),
-                       atol=1e-4)
+    for b in range(B):
+        assert np.allclose(np.asarray(outv.t_wc[b]),
+                           np.asarray(outs1[b].t_wc), atol=1e-4), b
     s_one = index_state(states2, 0)
     assert s_one.t.shape == (3,)
 
