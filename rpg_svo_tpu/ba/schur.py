@@ -12,16 +12,33 @@ problem is SoA arrays with masks:
 - observations: per point up to M rows (cam index, unit-plane measurement,
   pyramid level), masked.
 
-Each GN iteration builds the camera blocks U (K, 6, 6), point blocks
-V (P, 3, 3), couplings W (P, M, 6, 3) with batched einsums, forms the
-dense reduced camera system S = U − W V⁻¹ Wᵀ (K·6 is small: tens of
-cameras), solves it, and back-substitutes the point updates.  Huber
-robust weights with per-level information 1/2^level match the reference's
-edge setup; chi2-increase rollback matches its conservative behavior.
+Each GN iteration builds the camera blocks U, point blocks V (P, 3, 3)
+and couplings W (P, M, 6, 3), forms the dense reduced camera system
+S = U − W V⁻¹ Wᵀ, solves it, and back-substitutes the point updates.
+Huber robust weights with per-level information 1/2^level match the
+reference's edge setup; chi2-increase rollback matches its conservative
+behavior.
 
-The same einsums run under shard_map with the POINT dimension sharded
-and psum over the mesh axis assembling S — that is the distributed local
-BA (see rpg_svo_tpu.parallel.ba).
+TPU layout/precision rules (measured on device):
+- VARIABLE-CAMERA COMPACTION: only the core keyframes move (≤6 of a
+  64-slot pool in the accurate preset), so the reduced system is built
+  over the ≤n_var_max compacted variable cams, not the pool — the S
+  assembly shrinks ~(K/Vn)^2.  Fixed cameras contribute to points only
+  (V, b_p), exactly like the reference's fixed vertices.
+- One-hot MXU matmuls aggregate per-camera sums, at Precision.HIGHEST:
+  XLA's DEFAULT truncates operands to bfloat16, which put ~2e-4 relative
+  error into S (measured; the exact segment_sum path was 3e-6) and
+  regressed the accurate preset's trajectory error ~1 mm.
+- Small-contraction products (projection, V, W, back-substitution) are
+  broadcast-multiply-reduce on the VPU — exact f32 AND faster than
+  HIGHEST dot_generals (a 6-pass tiny matmul wastes the MXU).
+- V⁻¹ is the closed-form adjugate (geometry/linalg.inv3x3):
+  jnp.linalg.inv lowers to a serial LU custom-call (~5.4 ms for the
+  16384-point pool vs VPU math that fuses with the neighbors).
+
+The same block builder runs under shard_map with the POINT dimension
+sharded and psum over the mesh axis assembling S — that is the
+distributed local BA (see rpg_svo_tpu.parallel.ba).
 """
 
 from __future__ import annotations
@@ -34,15 +51,10 @@ import jax.numpy as jnp
 
 from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.geometry.cameras import project2d
+from rpg_svo_tpu.geometry.linalg import inv3x3
 from rpg_svo_tpu.ops.robust import huber_weight
 
-# TPU matmul precision: XLA's DEFAULT truncates einsum operands to
-# bfloat16 on the MXU.  The one-hot Schur assembly contracts over
-# P*M ~ 3e5 observation rows, and bf16-truncated Jacobian products
-# put ~2e-4 relative error into U/S/rhs (measured on-device; the
-# exact segment_sum path was 3e-6) — enough to regress the accurate
-# preset's median trajectory error ~1 mm.  HIGHEST restores f32
-# accumulation at ~12%% extra time on the assembly matmuls.
+# f32 MXU accumulation for the big one-hot aggregations (see module doc)
 _ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
@@ -67,6 +79,14 @@ class BAResult(NamedTuple):
     obs_inlier: jnp.ndarray  # (P, M) after final outlier check
 
 
+def _apply_cams(R, t, cam, p_w):
+    """p_cam (P, M, 3) = R[cam] @ p + t[cam] as broadcast-multiply-reduce
+    (exact f32 on the VPU; a dot_general here either truncates to bf16 at
+    DEFAULT or 6-passes a tiny matmul at HIGHEST)."""
+    Rc = R[cam]                                       # (P, M, 3, 3)
+    return jnp.sum(Rc * p_w[:, None, None, :], axis=-1) + t[cam]
+
+
 def _residuals_jacobians(prob: BAProblem, R, t, p_w, huber_k):
     """Residuals + per-observation Jacobian blocks.
 
@@ -75,8 +95,7 @@ def _residuals_jacobians(prob: BAProblem, R, t, p_w, huber_k):
     K = R.shape[0]
     cam = jnp.clip(prob.obs_cam, 0, K - 1)
     Rc = R[cam]                              # (P, M, 3, 3)
-    tc = t[cam]
-    p_cam = _ein("pmij,pj->pmi", Rc, p_w) + tc
+    p_cam = jnp.sum(Rc * p_w[:, None, None, :], axis=-1) + t[cam]
     r = project2d(prob.obs_f) - project2d(p_cam)        # (P, M, 2)
     x, y = p_cam[..., 0], p_cam[..., 1]
     z = jnp.where(jnp.abs(p_cam[..., 2]) < 1e-10, 1e-10, p_cam[..., 2])
@@ -94,7 +113,8 @@ def _residuals_jacobians(prob: BAProblem, R, t, p_w, huber_k):
         jnp.stack([zi, zero, -x * zi2], axis=-1),
         jnp.stack([zero, zi, -y * zi2], axis=-1),
     ], axis=-2)
-    Jp = -_ein("pmij,pmjl->pmil", Jproj, Rc)      # (P, M, 2, 3)
+    # Jp = -Jproj @ Rc, contraction over the 3 point coords
+    Jp = -jnp.sum(Jproj[..., :, :, None] * Rc[..., None, :, :], axis=-2)
     # information: 1/2^level, robust Huber on the weighted residual norm
     sinfo = 1.0 / (2.0 ** prob.obs_level.astype(jnp.float32))
     rn = jnp.linalg.norm(r, axis=-1) * sinfo
@@ -105,12 +125,10 @@ def _residuals_jacobians(prob: BAProblem, R, t, p_w, huber_k):
 
 def _chi2(prob: BAProblem, R, t, p_w, huber_k):
     """Robust chi2 without building the Jacobian stacks (the rollback /
-    init evaluations only need residuals and weights — the (P, M, 2, 6)
-    Jc stack pads to (8, 128) on TPU and is the bulk of a full
-    _residuals_jacobians call)."""
+    init evaluations only need residuals and weights)."""
     K = R.shape[0]
     cam = jnp.clip(prob.obs_cam, 0, K - 1)
-    p_cam = _ein("pmij,pj->pmi", R[cam], p_w) + t[cam]
+    p_cam = _apply_cams(R, t, cam, p_w)
     r = project2d(prob.obs_f) - project2d(p_cam)
     sinfo = 1.0 / (2.0 ** prob.obs_level.astype(jnp.float32))
     rn = jnp.linalg.norm(r, axis=-1) * sinfo
@@ -119,77 +137,122 @@ def _chi2(prob: BAProblem, R, t, p_w, huber_k):
     return jnp.sum(w * jnp.sum(r * r, -1))
 
 
-def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping):
-    """One Schur GN step. Returns (R', t', p_w', chi2)."""
+def variable_compaction(variable: jnp.ndarray, n_var: int):
+    """Compact the variable-camera set to n_var slots.
+
+    Returns (vsel (n_var,) slot ids, vok (n_var,) bool, inv_map (K,)
+    mapping camera slot -> compact index, n_var for non-variable)."""
+    from rpg_svo_tpu.core.map import mask_compact
+    K = variable.shape[0]
+    vsel, vok = mask_compact(variable, n_var)
+    tgt = jnp.where(vok, vsel, K)
+    # overflow region padded to 128 rows (odd-length 1-D scatters are in
+    # the TPU layout-miscompile class, see CLAUDE.md)
+    inv_map = jnp.full((K + 128,), n_var, jnp.int32).at[tgt].set(
+        jnp.where(vok, jnp.arange(n_var, dtype=jnp.int32), n_var))[:K]
+    return vsel, vok, inv_map
+
+
+def build_system(prob: BAProblem, R, t, p_w, huber_k, damping,
+                 inv_map, n_var: int):
+    """One GN iteration's blocks over the compacted variable cameras.
+
+    Returns (U (Vn,6,6), b_c (Vn,6), S_corr (Vn,Vn,6,6), rhs_corr
+    (Vn,6), aux=(Wc, Vinv, b_p, camPM), chi2).  Shared by the
+    single-device solver and the point-sharded distributed one (the
+    four leading outputs are what the mesh psums)."""
     K = R.shape[0]
     r, Jc, Jp, w = _residuals_jacobians(prob, R, t, p_w, huber_k)
     chi2 = jnp.sum(w * jnp.sum(r * r, -1))
     camPM = jnp.clip(prob.obs_cam, 0, K - 1)
-    # per-observation camera one-hot: EVERY per-camera reduction below is
-    # an MXU matmul against it.  [segment_sum over the P*M rows scattered
-    # at the gather/scatter latency floor — 7.5 ms/frame across U, b_c
-    # and the rhs correction at the accurate preset — and the (P*M, 6, 6)
-    # segment operand padded its (6, 6) minors to (8, 128): 1.1 GB.]
-    E = jax.nn.one_hot(camPM, K, dtype=Jc.dtype)         # (P, M, K)
+    vidx = inv_map[camPM]                               # (P, M) in [0, Vn]
+    # observation -> compact-variable one-hot; fixed cams get a zero row
+    # (they constrain points only, like the reference's fixed vertices)
+    E = jax.nn.one_hot(vidx, n_var, dtype=Jc.dtype)     # (P, M, Vn)
 
-    # camera blocks U (K, 6, 6) and rhs b_c (K, 6)
     JcW = Jc * w[..., None, None]
-    G = _ein("pmia,pmib->abpm", JcW, Jc)           # (6, 6, P, M)
-    U = _ein("abpm,pmk->kab", G, E)
-    b_c = -_ein("pmia,pmi,pmk->ka", JcW, r, E)
+    G = jnp.sum(JcW[..., :, :, None] * Jc[..., :, None, :], axis=-3)
+    U = _ein("pmab,pmv->vab", G, E)
+    rm = jnp.sum(JcW * r[..., None], axis=-2)           # (P, M, 6)
+    b_c = -_ein("pma,pmv->va", rm, E)
 
     # point blocks V (P, 3, 3), b_p (P, 3), couplings W (P, M, 6, 3)
-    V = _ein("pmia,pmib,pm->pab", Jp, Jp, w)
-    b_p = -_ein("pmia,pmi,pm->pa", Jp, r, w)
-    Wc = _ein("pmia,pmib,pm->pmab", Jc, Jp, w)    # (P, M, 6, 3)
-    Vinv = jnp.linalg.inv(V + (1e-6 + damping) * jnp.eye(3))
+    V = jnp.sum(Jp[..., :, :, None] * Jp[..., :, None, :]
+                * w[..., None, None, None], axis=(1, 2))
+    b_p = -jnp.sum(Jp * (r * w[..., None])[..., None], axis=(1, 2))
+    Wc = jnp.sum(JcW[..., :, :, None] * Jp[..., :, None, :], axis=-3)
+    Vinv = inv3x3(V + (1e-6 + damping) * jnp.eye(3))
     Vinv = jnp.where(prob.p_valid[:, None, None], Vinv, 0.0)
 
-    # Schur: S = U - sum_p Y_pk Vinv_p Y_plᵀ with per-point per-camera
-    # couplings Y_pk = Σ_{m: cam_m=k} W_pm aggregated by one-hot matmuls.
-    # [The earlier pairwise formulation materialized a (P, M, M, 6, 6)
-    # cross tensor whose (6, 6) minor dims pad to (8, 128) under TPU
-    # tiling — 19.4 GB at the accurate preset (P=16384, M=17) — and fed a
-    # P*M^2-row scatter.  This form is O(P*K*18) with the big axes minor
-    # ((6, 3, P, K) layouts) and contracts on the MXU instead.]
-    WV = _ein("pmab,pbc->pmac", Wc, Vinv)          # (P, M, 6, 3)
-    A = _ein("pmk,pmac->acpk", E, WV)              # (6, 3, P, K)
-    B = _ein("pmk,pmbc->bcpk", E, Wc)              # (6, 3, P, K)
-    S = -_ein("acpk,bcpl->klab", A, B)             # (K, K, 6, 6)
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(U)
-    rhs = b_c - _ein("pmac,pc,pmk->ka", WV, b_p, E)
+    # Schur correction: S_corr[v,w] = sum_p Y_pv Vinv_p Y_pwᵀ with
+    # Y_pv = Σ_{m: cam_m=v} W_pm aggregated by one-hot matmuls
+    WV = jnp.sum(Wc[..., :, None] * Vinv[:, None, None, :, :], axis=-2)
+    A = _ein("pmv,pmac->acpv", E, WV)                   # (6, 3, P, Vn)
+    B = _ein("pmv,pmbc->bcpv", E, Wc)
+    S_corr = _ein("acpv,bcpw->vwab", A, B)              # (Vn, Vn, 6, 6)
+    g = jnp.sum(WV * b_p[:, None, None, :], axis=-1)    # (P, M, 6)
+    rhs_corr = _ein("pma,pmv->va", g, E)
+    return U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, camPM), chi2
 
-    # fixed cameras: identity rows/cols, zero rhs
-    var = prob.cam_variable
+
+def assemble_solve(U, b_c, S_corr, rhs_corr, vok, damping):
+    """Dense solve of the compacted reduced camera system (6Vn x 6Vn)."""
+    Vn = U.shape[0]
+    S = -S_corr
+    S = S.at[jnp.arange(Vn), jnp.arange(Vn)].add(U)
     eye6 = jnp.eye(6)
-    mask_kk = (var[:, None] & var[None, :])[:, :, None, None]
+    mask_kk = (vok[:, None] & vok[None, :])[:, :, None, None]
     S = jnp.where(mask_kk, S, 0.0)
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(
-        jnp.where(var[:, None, None], damping * eye6, eye6))
-    rhs = jnp.where(var[:, None], rhs, 0.0)
+    S = S.at[jnp.arange(Vn), jnp.arange(Vn)].add(
+        jnp.where(vok[:, None, None], damping * eye6, eye6))
+    rhs = jnp.where(vok[:, None], b_c - rhs_corr, 0.0)
+    Sd = S.transpose(0, 2, 1, 3).reshape(Vn * 6, Vn * 6)
+    dx_v = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(Vn, 6)
+    return jnp.where(vok[:, None], dx_v, 0.0)
 
-    # dense solve of the reduced camera system (6K x 6K)
-    Sd = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
-    dx_c = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(K, 6)
-    dx_c = jnp.where(var[:, None], dx_c, 0.0)
 
-    # back-substitute point updates
+def expand_dx(dx_v, vsel, vok, K: int):
+    """Scatter compact camera updates back to the (K, 6) pool layout."""
+    tgt = jnp.where(vok, vsel, K)
+    return jnp.zeros((K + 128, 6), dx_v.dtype).at[tgt].set(dx_v)[:K]
+
+
+def point_backsub(Wc, Vinv, b_p, camPM, dx_c, p_valid):
+    """dx_p = V⁻¹ (b_p − Wᵀ dx_c[cam]) — local to each point (shard)."""
     dxc_obs = dx_c[camPM]                                # (P, M, 6)
-    Wt_dxc = _ein("pmab,pma->pb", Wc, dxc_obs)     # (P, 3)
-    dx_p = _ein("pab,pb->pa", Vinv, b_p - Wt_dxc)
-    dx_p = jnp.where(prob.p_valid[:, None], dx_p, 0.0)
+    Wt_dxc = jnp.sum(Wc * dxc_obs[..., None], axis=(1, 2))   # (P, 3)
+    dx_p = jnp.sum(Vinv * (b_p - Wt_dxc)[:, None, :], axis=-1)
+    return jnp.where(p_valid[:, None], dx_p, 0.0)
 
+
+def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping,
+             vsel, vok, inv_map, n_var: int):
+    """One Schur GN step. Returns (R', t', p_w', chi2)."""
+    K = R.shape[0]
+    U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, camPM), chi2 = build_system(
+        prob, R, t, p_w, huber_k, damping, inv_map, n_var)
+    dx_v = assemble_solve(U, b_c, S_corr, rhs_corr, vok, damping)
+    dx_c = expand_dx(dx_v, vsel, vok, K)
+    dx_p = point_backsub(Wc, Vinv, b_p, camPM, dx_c, prob.p_valid)
     T_new = SE3.exp(dx_c) * SE3(R, t)
     return T_new.R, T_new.t, p_w + dx_p, chi2
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter",))
+@functools.partial(jax.jit, static_argnames=("n_iter", "n_var_max"))
 def solve_ba(prob: BAProblem, n_iter: int = 10,
              huber_width: float = 1.0,
-             reproj_thresh_unitplane: float = 0.005) -> BAResult:
+             reproj_thresh_unitplane: float = 0.005,
+             n_var_max: int = 0) -> BAResult:
     """Robust GN with chi2 rollback; prunes outlier observations at the
     end like the reference's edge removal (bundle_adjustment.cpp:96-116,
-    222-250)."""
+    222-250).
+
+    n_var_max > 0 bounds the number of variable cameras (static): the
+    reduced camera system is built over that many compacted slots
+    instead of the whole pool.  0 = all K slots may be variable."""
+    K = prob.R.shape[0]
+    n_var = K if not n_var_max else min(K, n_var_max)
+    vsel, vok, inv_map = variable_compaction(prob.cam_variable, n_var)
     chi2_init = _chi2(prob, prob.R, prob.t, prob.p_w,
                       jnp.float32(huber_width))
 
@@ -197,7 +260,8 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
         def body(_, carry):
             R, t, p, best, damping = carry
             Rn, tn, pn, chi2 = _gn_step(pb, R, t, p,
-                                        jnp.float32(huber_width), damping)
+                                        jnp.float32(huber_width), damping,
+                                        vsel, vok, inv_map, n_var)
             bad = jnp.isnan(chi2) | jnp.any(jnp.isnan(tn)) \
                 | jnp.any(jnp.isnan(pn))
             chi2_new = _chi2(pb, Rn, tn, pn, jnp.float32(huber_width))
@@ -219,7 +283,7 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
     # prune outlier edges (reference: remove edges with chi2 > thresh
     # mid-way, bundle_adjustment.cpp:96-116) and re-solve on inliers
     cam_m = jnp.clip(prob.obs_cam, 0, R.shape[0] - 1)
-    p_cam_m = _ein("pmij,pj->pmi", R[cam_m], p) + t[cam_m]
+    p_cam_m = _apply_cams(R, t, cam_m, p)
     res_m = project2d(prob.obs_f) - project2d(p_cam_m)
     keep = prob.obs_mask & (jnp.linalg.norm(res_m, axis=-1)
                             < 3.0 * reproj_thresh_unitplane)
@@ -231,7 +295,7 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
 
     # final outlier pruning on unit-plane residual norm
     cam = jnp.clip(prob.obs_cam, 0, R.shape[0] - 1)
-    p_cam = _ein("pmij,pj->pmi", R[cam], p) + t[cam]
+    p_cam = _apply_cams(R, t, cam, p)
     res = project2d(prob.obs_f) - project2d(p_cam)
     inlier = prob.obs_mask & (jnp.linalg.norm(res, axis=-1)
                               < reproj_thresh_unitplane) \

@@ -17,10 +17,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-import functools as _ft
-# f32 MXU accumulation (see ba/schur.py precision note)
-_ein = _ft.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
-
 from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.ba.schur import BAProblem, solve_ba
 from rpg_svo_tpu.core.map import (
@@ -107,9 +103,12 @@ def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
             obs_f=shard_dim0(prob.obs_f, shard_axis),
             obs_level=shard_dim0(prob.obs_level, shard_axis),
             obs_mask=shard_dim0(prob.obs_mask, shard_axis))
+    # variable cams: new KF + core_n_kfs closest (bounded statically; the
+    # reduced camera system is built over this compacted set, ba/schur.py)
     res = solve_ba(prob, n_iter=n_iter,
                    huber_width=huber_width_px / fx,
-                   reproj_thresh_unitplane=reproj_thresh_px / fx)
+                   reproj_thresh_unitplane=reproj_thresh_px / fx,
+                   n_var_max=core_n_kfs + 1)
 
     # --- write back ------------------------------------------------------
     kf = kf._replace(R=jnp.where(variable[:, None, None], res.R, kf.R),
@@ -150,7 +149,8 @@ def run_two_view_ba(m: MapState, slot_fixed: jnp.ndarray,
                      obs_cam, obs_f, obs_level, obs_mask)
     res = solve_ba(prob, n_iter=n_iter,
                    huber_width=huber_width / fx,
-                   reproj_thresh_unitplane=reproj_thresh_px / fx)
+                   reproj_thresh_unitplane=reproj_thresh_px / fx,
+                   n_var_max=8)
 
     kf = kf._replace(R=jnp.where(variable[:, None, None], res.R, kf.R),
                      t=jnp.where(variable[:, None], res.t, kf.t))
@@ -181,9 +181,9 @@ def run_global_ba(m: MapState, huber_width_px: jnp.ndarray,
 
     obs_cam, obs_f, obs_level, obs_mask = _extract_observations(m)
     # pre-filter: current reprojection error vs poseoptim threshold
+    from rpg_svo_tpu.ba.schur import _apply_cams
     cam_safe = jnp.clip(obs_cam, 0, K - 1)
-    p_c = _ein("pmij,pj->pmi", kf.R[cam_safe], pt.pos) \
-        + kf.t[cam_safe]
+    p_c = _apply_cams(kf.R, kf.t, cam_safe, pt.pos)
     err = project2d(obs_f) - project2d(p_c)
     err2 = jnp.sum(err * err, axis=-1)
     thresh1 = (poseoptim_thresh_px / fx) ** 2
