@@ -193,6 +193,8 @@ def init_seeds_from_detection(m: MapState, kf_slot: jnp.ndarray, det,
                                     (n, 1))),
         tile=alloc_scatter(seed.tile, slots, det_tile),
         tile_xy0=alloc_scatter(seed.tile_xy0, slots, det_tile_xy0),
+        upd_count=alloc_scatter(seed.upd_count, slots,
+                                jnp.zeros((n,), jnp.int32)),
     )
     # scratch row stays inactive regardless of what landed there
     seed = seed._replace(active=seed.active.at[
@@ -214,6 +216,7 @@ class SeedFieldUpdate(NamedTuple):
     b: jnp.ndarray          # (S,)
     converged: jnp.ndarray  # (S,) -> allocate a CANDIDATE point
     p_w: jnp.ndarray        # (S, 3) world position for converged seeds
+    upd_count: jnp.ndarray  # (S,) int32 service counter (fairness LRU)
     stats: "SeedUpdateStats"
 
 
@@ -224,6 +227,7 @@ def identity_seed_update(seed: SeedStore) -> SeedFieldUpdate:
     return SeedFieldUpdate(
         seed.active, seed.mu, seed.sigma2, seed.a, seed.b,
         jnp.zeros((S,), bool), jnp.zeros((S, 3), jnp.float32),
+        seed.upd_count,
         SeedUpdateStats(z, z, z, jnp.sum(seed.active).astype(jnp.int32)))
 
 
@@ -251,7 +255,8 @@ def apply_seed_update(m: MapState, upd: SeedFieldUpdate) -> MapState:
     allocated = jnp.zeros((S + 1,), bool).at[tgt].set(conv_c)[:S]
     active = upd.active | (upd.converged & ~allocated)
     seed = seed._replace(active=active, mu=upd.mu,
-                         sigma2=upd.sigma2, a=upd.a, b=upd.b)
+                         sigma2=upd.sigma2, a=upd.a, b=upd.b,
+                         upd_count=upd.upd_count)
     return m._replace(seed=seed, pt=pt)
 
 
@@ -382,7 +387,28 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
         # K-domain and scatters back ONCE — nothing per-frame iterates
         # over the full pool except the cheap eligibility masks.
         K = update_k
-        sel, elig_c = mask_compact(eligible, K)
+        # fairness under seed-dense load: mask_compact alone keeps the
+        # FIRST K eligible seeds, so with eligible >> K the rest starve
+        # until they age out (and sliding-window rotation chases moving
+        # ranks as seeds converge).  Starvation-free priority instead:
+        # each seed carries a service counter (upd_count, +1 whenever it
+        # is selected); least-served seeds go first, so a seed at the
+        # minimum count cannot be preempted and is served within
+        # ceil(#min/K) updates of becoming minimal.  Remaining budget
+        # fills with the other eligible seeds in index order.  Two O(S)
+        # cumsum compactions, no sort.  With eligible <= K every
+        # eligible seed is selected — identical to plain compaction.
+        ev = seed.upd_count
+        ev_min = jnp.min(jnp.where(eligible, ev, jnp.iinfo(jnp.int32).max))
+        prio = eligible & (ev == ev_min)
+        sel1, v1 = mask_compact(prio, K)
+        sel2, v2 = mask_compact(eligible & ~prio, K)
+        n1 = jnp.sum(v1).astype(jnp.int32)
+        j = jnp.arange(K, dtype=jnp.int32)
+        fill = sel2[jnp.clip(j - n1, 0, K - 1)]
+        sel = jnp.where(v1, sel1, fill)
+        elig_c = v1 | ((j - n1 >= 0) & (j - n1 < jnp.sum(v2)))
+        sel = jnp.where(elig_c, sel, 0)
         if shard_axis:
             # mesh mode: the whole K-domain match + update below is
             # sharded over the seed-parallel axis; XLA partitions the
@@ -443,6 +469,7 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
         sigma2_out = scat(seed.sigma2, sigma2_k)
         a_out = scat(seed.a, a_k)
         b_out = scat(seed.b, b_k)
+        cnt_out = scat(seed.upd_count, seed.upd_count[sel] + 1)
         converged = jnp.zeros((S + 128,), bool).at[tgt].set(conv_k)[:S]
         p_w = jnp.zeros((S + 128, 3), jnp.float32).at[tgt].set(p_w_k)[:S]
         dead = jnp.zeros((S + 128,), bool).at[tgt].set(
@@ -456,7 +483,7 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
             n_seeds=jnp.sum(active_out).astype(jnp.int32),
         )
         return SeedFieldUpdate(active_out, mu_out, sigma2_out, a_out,
-                               b_out, converged, p_w, stats)
+                               b_out, converged, p_w, cnt_out, stats)
 
     _, depth_ref, succ, scanned = _gated_match(
         seed.px, seed.f, seed.level, seed.tile, seed.tile_xy0,
@@ -497,5 +524,6 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
         n_converged=jnp.sum(converged).astype(jnp.int32),
         n_seeds=jnp.sum(active_out).astype(jnp.int32),
     )
+    cnt_out = seed.upd_count + eligible.astype(jnp.int32)
     return SeedFieldUpdate(active_out, mu_out, sigma2_out, a_out, b_out,
-                           converged, p_w, stats)
+                           converged, p_w, cnt_out, stats)

@@ -103,6 +103,7 @@ class SeedStore(NamedTuple):
     grad: jnp.ndarray         # (S, 2) unit gradient dir
     tile: jnp.ndarray         # (S, TILE_R*TILE_R) origin-patch tile (flat)
     tile_xy0: jnp.ndarray     # (S, 2) int32
+    upd_count: jnp.ndarray    # (S,) int32 — K-capped update services (LRU)
 
 
 class MapState(NamedTuple):
@@ -181,6 +182,7 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
         grad=jnp.tile(jnp.array([1.0, 0.0], jnp.float32), (n_seeds, 1)),
         tile=jnp.zeros((n_seeds, TILE_R * TILE_R), jnp.float32),
         tile_xy0=jnp.full((n_seeds, 2), -1, jnp.int32),
+        upd_count=jnp.zeros((n_seeds,), jnp.int32),
     )
     return MapState(kf, pt, seed, jnp.int32(0))
 

@@ -105,3 +105,80 @@ def test_depth_filter_end_to_end():
     # reference golden: p50 ~0.04% of depth (0.062cm at ~1.5m)
     assert np.median(rel) < 0.005, f"median rel depth err {np.median(rel)}"
     assert np.percentile(rel, 80) < 0.02, np.percentile(rel, 80)
+
+
+def test_seed_dense_round_robin_fairness():
+    """Seed-dense stress: eligible seeds >> df_update_k for many frames.
+
+    The K-compaction serves only K seeds per update; without the
+    least-served-first priority (SeedStore.upd_count) the pool tail
+    would starve outright.  Assert (a) every CONTINUOUSLY-eligible seed
+    is served within one full LRU cycle ceil(E/K)+1 (seeds that leave
+    the view frustum mid-cycle are unservable under any budget), and
+    (b) convergence reaches a large share of the pool with reference
+    depth quality — not just the first K slots (reference semantics:
+    every seed updates every frame, depth_filter.cpp:197-291)."""
+    ds = SyntheticDataset(n_frames=41, trajectory="line", speed=0.018)
+    img0, depth0, T0 = ds.frame(0)
+    pyr0 = build_pyramid(img0, 5)
+    fp0 = FlatPyramid(pyr0)
+    m = make_empty_map(fp0.flat.shape[0])
+    F = m.kf.feat_px.shape[1]
+    m, slot = add_keyframe(
+        m, fp0.flat, T0.inverse(), jnp.int32(0),
+        jnp.zeros((F, 2)), jnp.tile(jnp.array([0.0, 0.0, 1.0]), (F, 1)),
+        jnp.zeros((F,), jnp.int32), jnp.full((F,), -1, jnp.int32),
+        jnp.zeros((F,), bool), jnp.ones((F,)))
+    gt_mean = float(jnp.median(depth0))
+    gt_min = float(depth0.min())
+    ncx, ncy = grid_dims(752, 480, 25)
+    m = df.init_seeds(m, slot, pyr0, ds.cam,
+                      jnp.zeros((ncx * ncy,), bool),
+                      jnp.float32(gt_mean), jnp.float32(0.5 * gt_min),
+                      cell_size=25)
+    n0 = int(m.seed.active.sum())
+    K = 64
+    assert n0 > 3 * K, f"not seed-dense: {n0} seeds vs K={K}"
+    W = -(-n0 // K) + 1                     # one full LRU service cycle
+    served0 = np.asarray(m.seed.upd_count)
+    active0 = np.asarray(m.seed.active)
+    elig_hist = []
+    from rpg_svo_tpu.geometry.se3 import SE3
+
+    for i in range(1, 41):
+        img, _, T = ds.frame(i)
+        fp = FlatPyramid(build_pyramid(img, 5))
+        if i <= W:
+            # mirror update_seeds_fields' eligibility (active & visible)
+            T_cr = T.inverse() * SE3(m.kf.R[0], m.kf.t[0]).inverse()
+            mu_safe = jnp.maximum(m.seed.mu, 1e-8)
+            p_cur = T_cr.apply(m.seed.f / mu_safe[:, None])
+            vis = (p_cur[:, 2] > 0) & ds.cam.is_in_frame(
+                ds.cam.world2cam(p_cur))
+            elig_hist.append(np.asarray(m.seed.active & vis))
+        m, stats = df.update_seeds(m, fp, T.inverse(), ds.cam,
+                                   update_k=K)
+        if i == W:
+            # every seed that stayed eligible through the whole cycle
+            # was served at least once (or converged out of the pool)
+            always = np.logical_and.reduce(elig_hist)
+            served = np.asarray(m.seed.upd_count)
+            alive = active0 & np.asarray(m.seed.active)
+            starved = alive & always & (served <= served0)
+            assert starved.sum() == 0, \
+                f"{starved.sum()}/{always.sum()} seeds starved after {W} frames"
+
+    conv = np.asarray(m.pt.ptype) == TYPE_CANDIDATE
+    n_conv = conv.sum()
+    # each seed only updates every ~ceil(eligible/K) frames, so expect
+    # proportionally fewer converged than the uncapped 20-frame run -
+    # but convergence must reach a large share of the pool, not just the
+    # first K slots
+    assert n_conv > 0.35 * n0, f"{n_conv}/{n0} converged"
+    p_w = np.asarray(m.pt.pos)[conv]
+    p_kf = np.asarray(T0.inverse().apply(jnp.asarray(p_w)))
+    d_est = np.linalg.norm(p_kf, axis=-1)
+    px = np.asarray(m.pt.orig_px)[conv]
+    d_gt = np.asarray(depth0)[px[:, 1].astype(int), px[:, 0].astype(int)]
+    rel = np.abs(d_est - d_gt) / d_gt
+    assert np.median(rel) < 0.005, np.median(rel)
