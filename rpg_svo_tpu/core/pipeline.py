@@ -407,22 +407,39 @@ class FrameHandler:
         info["img_align_n_tracked"] = int(align.n_tracked)
         timer.mark("sparse_img_align")
 
-        # reprojection
-        pt, rep = reproject_map(
-            self.map, frame.flat, T_cur, self.cam,
-            cfg.grid_size, self.ncx, self.ncy,
-            max_level=cfg.n_pyr_levels - 1, cur_pad=pad,
+        # reprojection, staged so the reference's sub-timers
+        # (frame_handler_base.cpp:51-57) each get an honest device sync:
+        # point projection + grid selection = reproject_kfs, candidate
+        # bookkeeping = reproject_candidates, per-cell matching =
+        # feature_align.  (The fused step runs the same stages composed
+        # into one program — reproject_map — with no boundaries.)
+        from rpg_svo_tpu.core.reprojector import (
+            project_points_jit, candidate_bookkeeping_jit,
+            grid_select_jit, match_cells_jit)
+        px_all, vis0 = project_points_jit(self.map.pt, T_cur, self.cam)
+        timer.mark("reproject_kfs", vis0)
+        n_fail, ptype, visible = candidate_bookkeeping_jit(
+            self.map.pt, vis0)
+        timer.mark("reproject_candidates", ptype)
+        has, sel_pt = grid_select_jit(
+            px_all, visible, ptype, grid_size=cfg.grid_size,
+            ncx=self.ncx, ncy=self.ncy, max_fts=self.feat_cap)
+        timer.mark("reproject_kfs", sel_pt)
+        pt, rep = match_cells_jit(
+            self.map, frame.flat, T_cur, self.cam, n_fail, ptype, has,
+            sel_pt, max_level=cfg.n_pyr_levels - 1, cur_pad=pad,
             max_fts=self.feat_cap)
+        timer.mark("feature_align", rep.feat_px)
         self.map = svomap.scrub_dead_references(
             self.map._replace(pt=pt))
         info["repr_n_mps"] = int(rep.n_trials)
         info["repr_n_new_references"] = int(rep.n_matches)
         n_matches = int(rep.n_matches)
-        # our reprojector fuses projection + per-cell matching + subpixel
-        # alignment into one program; the reference's reproject_kfs /
-        # reproject_candidates / feature_align sub-timers have no
-        # separable host boundary and stay 0
-        timer.mark("reproject")
+        # total column: the three sub-stages end-to-end
+        info["reproject"] = (info.get("reproject_kfs", 0.0)
+                             + info.get("reproject_candidates", 0.0)
+                             + info.get("feature_align", 0.0))
+        timer.skip()
         feat_f = self.cam.cam2world(rep.feat_px)
         frame = frame._replace(
             feat_px=rep.feat_px, feat_f=feat_f,

@@ -19,6 +19,15 @@ Reference behavior reproduced with batched semantics:
 - the reference observation for warping is the point's closest-view
   observation (Point::getCloseViewObs, 60 deg cutoff) with the seed origin
   observation as fallback.
+
+The pass is organized as composable stages mirroring the reference's
+trace boundaries (frame_handler_base.cpp:51-57): point projection + grid
+selection (its ``reproject_kfs`` timer), candidate bookkeeping
+(``reproject_candidates``) and the batched per-cell matcher
+(``feature_align``).  ``reproject_map`` composes all three inside one jit
+(the fused step's single-program path); the host pipeline calls the
+staged jits individually so each trace column gets an honest sync
+boundary.
 """
 
 from __future__ import annotations
@@ -50,38 +59,41 @@ class ReprojectResult(NamedTuple):
     n_trials: jnp.ndarray      # scalar
 
 
-@functools.partial(jax.jit, static_argnames=("grid_size", "ncx", "ncy",
-                                             "max_level", "max_fts"))
-def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
-                  grid_size: int, ncx: int, ncy: int,
-                  max_level: int = 4, cur_pad=None, max_fts: int = 0):
-    """Returns (PointStore with updated counters/types, ReprojectResult).
+def attempt_budget(C: int, max_fts: int) -> int:
+    """Static attempt count A: the reference attempts cells until maxFts
+    MATCHES succeed (reprojector.cpp:195-201), so attempts > maxFts when
+    matching is hard.  Statically: best max(2*maxFts, 256) cells."""
+    if max_fts and max_fts < C:
+        return min(C, -(-max(2 * max_fts, 256) // 8) * 8)
+    return C
 
-    max_fts > 0 caps the match attempts at that many cells (the
-    reference's maxFts budget, reprojector.cpp:138,195-201): cells are
-    ranked by their best candidate's quality (GOOD > UNKNOWN > CANDIDATE,
-    pointQualityComparator) with a fixed shuffled order breaking ties —
-    the reference's shuffled cell iteration (reprojector.cpp:44-55).
-    All downstream per-feature work then batches over max_fts slots
-    instead of every grid cell."""
-    pt = m.pt
-    P = pt.pos.shape[0]
-    C = ncx * ncy
 
-    # ---- project all points -------------------------------------------
+def project_points(pt, T_cur: SE3, cam):
+    """Project the whole point pool; visibility mask (reprojectMap's
+    per-point projection, the ``reproject_kfs`` work)."""
     p_cur = T_cur.apply(pt.pos)
     px = cam.world2cam(p_cur)
-    visible = pt.active & (p_cur[..., 2] > 0.0) \
+    vis0 = pt.active & (p_cur[..., 2] > 0.0) \
         & cam.is_in_frame(px, boundary=8.0)
+    return px, vis0
 
-    # candidates that fail to project: n_fail += 3, delete > 30
-    cand_miss = pt.active & (pt.ptype == TYPE_CANDIDATE) & ~visible
+
+def candidate_bookkeeping(pt, vis0):
+    """Candidates that fail to project: n_fail += 3, delete > 30
+    (reprojectMap's candidate pass, the ``reproject_candidates`` work)."""
+    cand_miss = pt.active & (pt.ptype == TYPE_CANDIDATE) & ~vis0
     n_fail = pt.n_fail + jnp.where(cand_miss, 3, 0)
     ptype = jnp.where((pt.ptype == TYPE_CANDIDATE) & (n_fail > 30),
                       TYPE_DELETED, pt.ptype)
-    visible = visible & (ptype != TYPE_DELETED)
+    visible = vis0 & (ptype != TYPE_DELETED)
+    return n_fail, ptype, visible
 
-    # ---- per-cell best point by quality --------------------------------
+
+def grid_select(px, visible, ptype, grid_size: int, ncx: int, ncy: int,
+                max_fts: int):
+    """Per-cell best point by quality + the shuffled attempt budget."""
+    P = px.shape[0]
+    C = ncx * ncy
     cx = jnp.clip((px[:, 0] // grid_size).astype(jnp.int32), 0, ncx - 1)
     cy = jnp.clip((px[:, 1] // grid_size).astype(jnp.int32), 0, ncy - 1)
     cell = cy * ncx + cx
@@ -91,15 +103,8 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
     has = best >= 0
     sel_pt = jnp.where(has, best % P, 0)            # (C,) selected point id
 
-    # Attempt budget: the reference attempts cells (in shuffled order,
-    # best quality per cell) until maxFts MATCHES succeed
-    # (reprojector.cpp:195-201) — so the attempt count is data-dependent
-    # and > maxFts when matching is hard.  Statically: attempt the best
-    # A = max(2*maxFts, 256) cells, then compact the successes to the
-    # maxFts-slot feature table below.
-    A = C
-    if max_fts and max_fts < C:
-        A = min(C, -(-max(2 * max_fts, 256) // 8) * 8)
+    A = attempt_budget(C, max_fts)
+    if A < C:
         import numpy as _np
         perm = jnp.asarray(_np.random.default_rng(0).permutation(C)
                            .astype(_np.int32))
@@ -108,6 +113,16 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
         _, cell_sel = jax.lax.top_k(key, A)
         has = has[cell_sel]
         sel_pt = sel_pt[cell_sel]
+    return has, sel_pt
+
+
+def match_cells(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
+                n_fail, ptype, has, sel_pt,
+                max_level: int, cur_pad, max_fts: int):
+    """Closest-view reference observation + batched direct matching +
+    counters/promotions (the reference's reprojectCell loop — its
+    ``feature_align`` timer).  Returns (PointStore, ReprojectResult)."""
+    pt = m.pt
 
     # ---- reference observation: closest view among obs + origin --------
     sel_pos = pt.pos[sel_pt]                                   # (C, 3)
@@ -195,6 +210,7 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
     success = success & (ptype[sel_pt] != TYPE_DELETED)
 
     pt = pt._replace(n_succ=n_succ, n_fail=n_fail, ptype=ptype)
+    A = has.shape[0]
     if max_fts and max_fts < A:
         # keep the first max_fts successes (attempt order = quality tier
         # then shuffled cells, like the reference's loop that stops at
@@ -223,3 +239,35 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
         n_trials=jnp.sum(attempt).astype(jnp.int32),
     )
     return pt, res
+
+
+@functools.partial(jax.jit, static_argnames=("grid_size", "ncx", "ncy",
+                                             "max_level", "max_fts"))
+def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
+                  grid_size: int, ncx: int, ncy: int,
+                  max_level: int = 4, cur_pad=None, max_fts: int = 0):
+    """Returns (PointStore with updated counters/types, ReprojectResult).
+
+    max_fts > 0 caps the match attempts at that many cells (the
+    reference's maxFts budget, reprojector.cpp:138,195-201): cells are
+    ranked by their best candidate's quality (GOOD > UNKNOWN > CANDIDATE,
+    pointQualityComparator) with a fixed shuffled order breaking ties —
+    the reference's shuffled cell iteration (reprojector.cpp:44-55).
+    All downstream per-feature work then batches over max_fts slots
+    instead of every grid cell."""
+    px, vis0 = project_points(m.pt, T_cur, cam)
+    n_fail, ptype, visible = candidate_bookkeeping(m.pt, vis0)
+    has, sel_pt = grid_select(px, visible, ptype, grid_size, ncx, ncy,
+                              max_fts)
+    return match_cells(m, cur_pyr, T_cur, cam, n_fail, ptype, has,
+                       sel_pt, max_level, cur_pad, max_fts)
+
+
+# staged jits for the host pipeline's per-stage trace timers
+project_points_jit = jax.jit(project_points)
+candidate_bookkeeping_jit = jax.jit(candidate_bookkeeping)
+grid_select_jit = functools.partial(
+    jax.jit, static_argnames=("grid_size", "ncx", "ncy", "max_fts"))(
+        grid_select)
+match_cells_jit = functools.partial(
+    jax.jit, static_argnames=("max_level", "max_fts"))(match_cells)
