@@ -102,3 +102,39 @@ def plot_comparison(results: Dict, out_pdf: str):
     fig.tight_layout()
     fig.savefig(out_pdf)
     plt.close(fig)
+
+
+def plot_markers(markers_seq: List, out_pdf: str):
+    """Top-down map/trajectory plot from a sequence of viz.Markers —
+    the offline consumer of the rviz marker-set equivalent
+    (svo_ros/src/visualizer.cpp:198-267): trajectory points, keyframe
+    poses with viewing axes, and the LAST frame's live point cloud
+    (deleted points drop out exactly as removeDeletedPts removes their
+    markers)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    traj = np.stack([mk.cam_pos for mk in markers_seq])
+    ax.plot(traj[:, 0], traj[:, 1], "-", linewidth=1.0, label="trajectory")
+    last = markers_seq[-1]
+    if last.point_pos.size:
+        ax.scatter(last.point_pos[:, 0], last.point_pos[:, 1], s=1,
+                   alpha=0.4, label=f"points ({len(last.point_ids)})")
+    if last.kf_pos.size:
+        ax.scatter(last.kf_pos[:, 0], last.kf_pos[:, 1], marker="s", s=20,
+                   label=f"keyframes ({len(last.kf_ids)})")
+        # camera viewing direction (z axis) per keyframe
+        for p, Rwc in zip(last.kf_pos, last.kf_R_wc):
+            z = Rwc[:, 2] * 0.05
+            ax.plot([p[0], p[0] + z[0]], [p[1], p[1] + z[1]],
+                    "k-", linewidth=0.5)
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.set_aspect("equal")
+    ax.legend(fontsize=8)
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_pdf)
+    plt.close(fig)

@@ -39,14 +39,37 @@ class Info:
         )
 
 
+def _draw_line(out: np.ndarray, p0, p1, value: float) -> None:
+    """Rasterize a line segment into a grayscale image (in place)."""
+    H, W = out.shape
+    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]))) + 1
+    xs = np.clip(np.round(np.linspace(p0[0], p1[0], n)).astype(int),
+                 0, W - 1)
+    ys = np.clip(np.round(np.linspace(p0[1], p1[1], n)).astype(int),
+                 0, H - 1)
+    out[ys, xs] = value
+
+
 def draw_features(img: np.ndarray, px: np.ndarray, valid: np.ndarray,
-                  halfsize: int = 2, value: float = 255.0) -> np.ndarray:
-    """Overlay feature squares on a grayscale image (visualizer's
-    drawFeatures equivalent). Returns a copy."""
+                  halfsize: int = 2, value: float = 255.0,
+                  feat_type: Optional[np.ndarray] = None,
+                  grad: Optional[np.ndarray] = None) -> np.ndarray:
+    """Overlay features on a grayscale image (Visualizer's level-0
+    drawing, svo_ros/src/visualizer.cpp:137-161): corners as squares,
+    EDGELETs (feat_type == 1, with `grad` = unit gradient dir) as line
+    segments along the edge direction px ± 3*(grad_y, -grad_x).
+    Returns a copy."""
     out = np.asarray(img).copy()
     H, W = out.shape
-    for p, v in zip(np.asarray(px), np.asarray(valid)):
+    ft = None if feat_type is None else np.asarray(feat_type)
+    gr = None if grad is None else np.asarray(grad)
+    for i, (p, v) in enumerate(zip(np.asarray(px), np.asarray(valid))):
         if not v:
+            continue
+        if ft is not None and gr is not None and ft[i] == 1:
+            g0, g1 = float(gr[i][0]), float(gr[i][1])
+            _draw_line(out, (p[0] + 3 * g1, p[1] - 3 * g0),
+                       (p[0] - 3 * g1, p[1] + 3 * g0), value)
             continue
         x, y = int(p[0]), int(p[1])
         x0, x1 = max(x - halfsize, 0), min(x + halfsize, W - 1)
@@ -56,6 +79,58 @@ def draw_features(img: np.ndarray, px: np.ndarray, valid: np.ndarray,
         out[y0:y1 + 1, x0] = value
         out[y0:y1 + 1, x1] = value
     return out
+
+
+def draw_init_tracks(img: np.ndarray, px_ref: np.ndarray,
+                     px_cur: np.ndarray, valid: np.ndarray,
+                     value: float = 255.0) -> np.ndarray:
+    """Initialization-stage overlay: feature-track lines from the first
+    to the current frame (visualizer.cpp:117-127). Returns a copy."""
+    out = np.asarray(img).copy()
+    for p0, p1, v in zip(np.asarray(px_ref), np.asarray(px_cur),
+                         np.asarray(valid)):
+        if v:
+            _draw_line(out, p1, p0, value)
+    return out
+
+
+@dataclasses.dataclass
+class Markers:
+    """Data equivalent of the rviz marker set (visualizer.cpp:198-267):
+    the current camera, the trajectory point it appends, keyframe frame
+    markers, live point markers and the ids whose markers must be
+    REMOVED (deleted points — removeDeletedPts)."""
+    cam_pos: np.ndarray         # (3,) current camera position (world)
+    cam_R_wc: np.ndarray        # (3, 3) camera-to-world rotation
+    trajectory_id: int          # marker id = trace counter
+    kf_ids: np.ndarray          # (nK,) keyframe frame ids
+    kf_pos: np.ndarray          # (nK, 3) keyframe positions (world)
+    kf_R_wc: np.ndarray         # (nK, 3, 3)
+    point_ids: np.ndarray       # (nP,) live point ids (pool slots)
+    point_pos: np.ndarray       # (nP, 3)
+    deleted_ids: np.ndarray     # ids whose point markers to delete
+
+
+def markers_from_map(m, T_f_w, trace_id: int = 0) -> Markers:
+    """Assemble the marker set from the SoA map + current pose
+    (visualizeMarkers + publishMapRegion + removeDeletedPts)."""
+    R = np.asarray(T_f_w.R)
+    t = np.asarray(T_f_w.t)
+    cam_R_wc = R.T
+    cam_pos = -R.T @ t
+    kf_act = np.asarray(m.kf.active)
+    kf_R = np.asarray(m.kf.R)[kf_act]
+    kf_t = np.asarray(m.kf.t)[kf_act]
+    kf_pos = -np.einsum("kij,kj->ki", kf_R.transpose(0, 2, 1), kf_t)
+    ptype = np.asarray(m.pt.ptype)
+    live = ptype > 0                      # not TYPE_DELETED
+    ids = np.arange(ptype.shape[0])
+    return Markers(
+        cam_pos=cam_pos, cam_R_wc=cam_R_wc, trajectory_id=trace_id,
+        kf_ids=np.asarray(m.kf.frame_id)[kf_act],
+        kf_pos=kf_pos, kf_R_wc=kf_R.transpose(0, 2, 1),
+        point_ids=ids[live], point_pos=np.asarray(m.pt.pos)[live],
+        deleted_ids=ids[~live & (np.asarray(m.pt.orig_kf) >= 0)])
 
 
 def status_line(info: Info, fps: Optional[float] = None) -> str:

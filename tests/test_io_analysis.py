@@ -211,3 +211,54 @@ def test_rpe_detects_drift():
     t2 = t * 1.1   # 10% scale drift
     res = rpe(t, R, t2, R, delta=1)
     assert res["trans_rmse"] > 0.01
+
+
+def test_edgelet_overlay_and_markers(tmp_path):
+    """Visualizer parity extras: edgelet gradient-line overlay
+    (visualizer.cpp:137-144), init track lines (:117-127) and the data
+    marker set + its offline plot consumer (:198-267)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rpg_svo_tpu import viz
+    from rpg_svo_tpu.geometry.se3 import SE3
+    from rpg_svo_tpu.core.map import init_map, TYPE_DELETED, TYPE_GOOD
+
+    img = np.zeros((48, 64), np.float32)
+    px = np.array([[32.0, 24.0], [10.0, 10.0]])
+    valid = np.array([True, True])
+    ftype = np.array([1, 0])                  # edgelet + corner
+    grad = np.array([[1.0, 0.0], [1.0, 0.0]])
+    out = viz.draw_features(img, px, valid, feat_type=ftype, grad=grad)
+    # edgelet: vertical segment through (32, 24) (dir = (grad_y, -grad_x))
+    assert out[21, 32] == 255.0 and out[27, 32] == 255.0
+    assert out[24, 29] == 0.0                 # not a square
+    # corner: square outline at (10, 10)
+    assert out[8, 10] == 255.0 and out[12, 10] == 255.0
+
+    tracks = viz.draw_init_tracks(img, np.array([[5.0, 5.0]]),
+                                  np.array([[15.0, 5.0]]),
+                                  np.array([True]))
+    assert tracks[5, 5:16].min() == 255.0
+
+    m = init_map(n_kfs=4, n_feats=8, n_points=16, n_obs=4, n_seeds=16,
+                 flat_len=64)
+    m = m._replace(kf=m.kf._replace(
+        active=m.kf.active.at[0].set(True),
+        frame_id=m.kf.frame_id.at[0].set(7)))
+    pt = m.pt._replace(
+        ptype=m.pt.ptype.at[0].set(TYPE_GOOD).at[1].set(TYPE_DELETED),
+        pos=m.pt.pos.at[0].set(jnp.array([1.0, 2.0, 3.0])),
+        orig_kf=m.pt.orig_kf.at[1].set(0))
+    m = m._replace(pt=pt)
+    mk = viz.markers_from_map(m, SE3.identity(), trace_id=3)
+    assert mk.trajectory_id == 3
+    assert list(mk.kf_ids) == [7]
+    assert 0 in mk.point_ids and 1 not in mk.point_ids
+    assert 1 in mk.deleted_ids             # deleted point marker removal
+    np.testing.assert_allclose(mk.point_pos[0], [1.0, 2.0, 3.0])
+
+    from rpg_svo_tpu.analysis.compare import plot_markers
+    pdf = str(tmp_path / "map.pdf")
+    plot_markers([mk, mk], pdf)
+    import os
+    assert os.path.getsize(pdf) > 0
