@@ -68,7 +68,12 @@ def test_depth_filter_convergence_meets_goldens():
     from rpg_svo_tpu.ops.detector import grid_dims
 
     n_frames = 12
-    ds = SurfaceDataset(n_frames=n_frames, surf=SineSurface(amp=0.0))
+    # step 0.045: a triangulation-friendly sweep baseline (the reference
+    # dataset's 20-frame sweep covers ~0.45 m; same order).  Smaller
+    # steps were measured strictly worse (0.018 -> p95 0.31): per-
+    # measurement triangulation noise dominates the extra updates.
+    ds = SurfaceDataset(n_frames=n_frames, step=0.045,
+                        surf=SineSurface(amp=0.0))
     img0, depth0, T0 = ds.frame(0)
     pyr0 = build_pyramid(img0, 5)
     fp0 = FlatPyramid(pyr0)
@@ -102,9 +107,11 @@ def test_depth_filter_convergence_meets_goldens():
     d_gt = np.asarray(depth0)[px[:, 1].astype(int), px[:, 0].astype(int)]
     err = np.abs(d_est - d_gt) * 100
     p50, p80, p95 = np.percentile(err, [50, 80, 95])
-    # reference goldens: 0.0620 / 0.1245 / 0.2004 cm; flat-control margin
-    # 1.6x for p50 (measured 0.079), wider tails from the filter's own
-    # convergence gate
-    assert p50 < 0.10, f"p50 {p50:.4f} cm vs golden 0.062"
-    assert p80 < 0.20, f"p80 {p80:.4f} cm vs golden 0.125"
-    assert p95 < 0.35, f"p95 {p95:.4f} cm vs golden 0.200"
+    # reference goldens: 0.0620 / 0.1245 / 0.2004 cm.  Thresholds at
+    # 1.2x golden (measured 0.070 / 0.146 / 0.234 after the level-aware
+    # tau fix — coarse-level matches now carry 2^level px of assumed
+    # noise instead of the reference's flat 1 px, which had been
+    # converging level>=1 seeds early at 4-5x the depth error).
+    assert p50 < 0.0744, f"p50 {p50:.4f} cm vs golden 0.062"
+    assert p80 < 0.1494, f"p80 {p80:.4f} cm vs golden 0.125"
+    assert p95 < 0.2405, f"p95 {p95:.4f} cm vs golden 0.200"
