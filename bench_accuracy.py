@@ -88,6 +88,12 @@ def run_preset(name: str, n_frames: int, chunk: int):
     ate_noscale = ate_rmse(gt_t, est_t, with_scale=False)
     r1 = rpe(gt_t, gt_R, est_t, est_R, delta=1)
     r10 = rpe(gt_t, gt_R, est_t, est_R, delta=10)
+    # Table II units: the reference reports RPE per SECOND (m/s, deg/s).
+    # The pipeline timestamps frames at 50 Hz, so delta=50 frames = 1 s.
+    hz = 50.0
+    r1s = rpe(gt_t, gt_R, est_t, est_R, delta=int(hz))
+    speed = float(np.mean(np.linalg.norm(np.diff(gt_t, axis=0),
+                                         axis=-1)) * hz)
     return {
         "preset": name,
         "frames": n,
@@ -101,6 +107,11 @@ def run_preset(name: str, n_frames: int, chunk: int):
         "rpe1_rot_rmse_deg": round(np.degrees(r1["rot_rmse"]), 5),
         "rpe10_trans_rmse_m": round(r10["trans_rmse"], 6),
         "rpe10_rot_rmse_deg": round(np.degrees(r10["rot_rmse"]), 5),
+        "rpe_1s_trans_mps": round(r1s["trans_rmse"], 6),
+        "rpe_1s_trans_median_mps": round(r1s["trans_median"], 6)
+        if "trans_median" in r1s else None,
+        "rpe_1s_rot_degps": round(np.degrees(r1s["rot_rmse"]), 5),
+        "cam_speed_mps": round(speed, 4),
     }
 
 
@@ -131,18 +142,20 @@ def main():
                  f"{args.frames} frames, Sim3-aligned)", "",
                  "Reference bounds (84 m MAV trajectory, Table II): fast "
                  "Pos-RMSE 0.0059 m/s, Rot-RMSE 0.43 °/s; accurate "
-                 "0.0051 m/s / 0.45 °/s.  Our synthetic trajectory is "
-                 "~1.6 m long; RPE here is per frame-delta, not per "
-                 "second.", "",
-                 "| preset | frames | failed | ATE RMSE (m) | ATE (no "
-                 "scale) | RPE@1 trans (m) | RPE@1 rot (deg) | RPE@10 "
-                 "trans (m) | RPE@10 rot (deg) |", "|" + "---|" * 9]
+                 "0.0051 m/s / 0.45 °/s.  RPE/s below uses the Table II "
+                 "per-second protocol (50 Hz timestamps, delta = 1 s); "
+                 "note the synthetic camera moves at the speed shown, "
+                 "vs the MAV's faster flight — per-second drift scales "
+                 "with speed, so compare like-for-like.", "",
+                 "| preset | frames | failed | speed (m/s) | ATE RMSE "
+                 "(m) | RPE/s trans (m/s) | RPE/s rot (deg/s) | RPE@1 "
+                 "trans (m) | RPE@10 trans (m) |", "|" + "---|" * 9]
         for r in rows:
             lines.append(
                 f"| {r['preset']} | {r['frames']} | {r['n_failed']} | "
-                f"{r['ate_rmse_m']} | {r['ate_rmse_noscale_m']} | "
-                f"{r['rpe1_trans_rmse_m']} | {r['rpe1_rot_rmse_deg']} | "
-                f"{r['rpe10_trans_rmse_m']} | {r['rpe10_rot_rmse_deg']} |")
+                f"{r['cam_speed_mps']} | {r['ate_rmse_m']} | "
+                f"{r['rpe_1s_trans_mps']} | {r['rpe_1s_rot_degps']} | "
+                f"{r['rpe1_trans_rmse_m']} | {r['rpe10_trans_rmse_m']} |")
         with open(args.report, "a") as f:
             f.write("\n".join(lines) + "\n")
         print(f"# appended to {args.report}", file=sys.stderr)

@@ -79,23 +79,39 @@ class BAResult(NamedTuple):
     obs_inlier: jnp.ndarray  # (P, M) after final outlier check
 
 
-def _apply_cams(R, t, cam, p_w):
-    """p_cam (P, M, 3) = R[cam] @ p + t[cam] as broadcast-multiply-reduce
-    (exact f32 on the VPU; a dot_general here either truncates to bf16 at
-    DEFAULT or 6-passes a tiny matmul at HIGHEST)."""
-    Rc = R[cam]                                       # (P, M, 3, 3)
-    return jnp.sum(Rc * p_w[:, None, None, :], axis=-1) + t[cam]
+def obs_cam_onehot(obs_cam, K: int):
+    """(P, M, K) one-hot of the clipped camera index — built ONCE per
+    solve (the index table is iteration-invariant) and contracted on the
+    MXU wherever per-observation camera rows are needed: R[cam]-style
+    scattered gathers over the P*M observation rows cost ~10 ns/element
+    (~8 ms per BA iteration at the accurate preset)."""
+    cam = jnp.clip(obs_cam, 0, K - 1)
+    return jax.nn.one_hot(cam, K, dtype=jnp.float32), cam
 
 
-def _residuals_jacobians(prob: BAProblem, R, t, p_w, huber_k):
-    """Residuals + per-observation Jacobian blocks.
+def _cam_rows(E, R, t):
+    """Per-observation camera rotation (P, M, 3, 3) + translation via
+    one-hot matmuls at HIGHEST (exact: one-hot rows are bf16-exact and
+    the table operand must not be truncated)."""
+    Rc = _ein("pmk,kij->pmij", E, R)
+    tc = _ein("pmk,ki->pmi", E, t)
+    return Rc, tc
+
+
+def _apply_cams(R, t, E, p_w):
+    """p_cam (P, M, 3) = R[cam] @ p + t[cam]; E = obs_cam_onehot."""
+    Rc, tc = _cam_rows(E, R, t)
+    return jnp.sum(Rc * p_w[:, None, None, :], axis=-1) + tc
+
+
+def _residuals_jacobians(prob: BAProblem, R, t, p_w, huber_k, E):
+    """Residuals + per-observation Jacobian blocks; E = obs_cam_onehot.
 
     Returns r (P, M, 2), Jc (P, M, 2, 6), Jp (P, M, 2, 3), w (P, M).
     """
     K = R.shape[0]
-    cam = jnp.clip(prob.obs_cam, 0, K - 1)
-    Rc = R[cam]                              # (P, M, 3, 3)
-    p_cam = jnp.sum(Rc * p_w[:, None, None, :], axis=-1) + t[cam]
+    Rc, tc = _cam_rows(E, R, t)              # (P, M, 3, 3), (P, M, 3)
+    p_cam = jnp.sum(Rc * p_w[:, None, None, :], axis=-1) + tc
     r = project2d(prob.obs_f) - project2d(p_cam)        # (P, M, 2)
     x, y = p_cam[..., 0], p_cam[..., 1]
     z = jnp.where(jnp.abs(p_cam[..., 2]) < 1e-10, 1e-10, p_cam[..., 2])
@@ -123,12 +139,10 @@ def _residuals_jacobians(prob: BAProblem, R, t, p_w, huber_k):
     return r, Jc, Jp, w
 
 
-def _chi2(prob: BAProblem, R, t, p_w, huber_k):
+def _chi2(prob: BAProblem, R, t, p_w, huber_k, E):
     """Robust chi2 without building the Jacobian stacks (the rollback /
     init evaluations only need residuals and weights)."""
-    K = R.shape[0]
-    cam = jnp.clip(prob.obs_cam, 0, K - 1)
-    p_cam = _apply_cams(R, t, cam, p_w)
+    p_cam = _apply_cams(R, t, E, p_w)
     r = project2d(prob.obs_f) - project2d(p_cam)
     sinfo = 1.0 / (2.0 ** prob.obs_level.astype(jnp.float32))
     rn = jnp.linalg.norm(r, axis=-1) * sinfo
@@ -154,7 +168,7 @@ def variable_compaction(variable: jnp.ndarray, n_var: int):
 
 
 def build_system(prob: BAProblem, R, t, p_w, huber_k, damping,
-                 inv_map, n_var: int):
+                 inv_map, n_var: int, E=None):
     """One GN iteration's blocks over the compacted variable cameras.
 
     Returns (U (Vn,6,6), b_c (Vn,6), S_corr (Vn,Vn,6,6), rhs_corr
@@ -162,7 +176,9 @@ def build_system(prob: BAProblem, R, t, p_w, huber_k, damping,
     single-device solver and the point-sharded distributed one (the
     four leading outputs are what the mesh psums)."""
     K = R.shape[0]
-    r, Jc, Jp, w = _residuals_jacobians(prob, R, t, p_w, huber_k)
+    if E is None:
+        E, _ = obs_cam_onehot(prob.obs_cam, K)
+    r, Jc, Jp, w = _residuals_jacobians(prob, R, t, p_w, huber_k, E)
     chi2 = jnp.sum(w * jnp.sum(r * r, -1))
     camPM = jnp.clip(prob.obs_cam, 0, K - 1)
     vidx = inv_map[camPM]                               # (P, M) in [0, Vn]
@@ -226,11 +242,11 @@ def point_backsub(Wc, Vinv, b_p, camPM, dx_c, p_valid):
 
 
 def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping,
-             vsel, vok, inv_map, n_var: int):
+             vsel, vok, inv_map, n_var: int, E=None):
     """One Schur GN step. Returns (R', t', p_w', chi2)."""
     K = R.shape[0]
     U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, camPM), chi2 = build_system(
-        prob, R, t, p_w, huber_k, damping, inv_map, n_var)
+        prob, R, t, p_w, huber_k, damping, inv_map, n_var, E=E)
     dx_v = assemble_solve(U, b_c, S_corr, rhs_corr, vok, damping)
     dx_c = expand_dx(dx_v, vsel, vok, K)
     dx_p = point_backsub(Wc, Vinv, b_p, camPM, dx_c, prob.p_valid)
@@ -253,18 +269,20 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
     K = prob.R.shape[0]
     n_var = K if not n_var_max else min(K, n_var_max)
     vsel, vok, inv_map = variable_compaction(prob.cam_variable, n_var)
+    E, _ = obs_cam_onehot(prob.obs_cam, K)   # iteration-invariant
     chi2_init = _chi2(prob, prob.R, prob.t, prob.p_w,
-                      jnp.float32(huber_width))
+                      jnp.float32(huber_width), E)
 
     def make_body(pb):
         def body(_, carry):
             R, t, p, best, damping = carry
             Rn, tn, pn, chi2 = _gn_step(pb, R, t, p,
                                         jnp.float32(huber_width), damping,
-                                        vsel, vok, inv_map, n_var)
+                                        vsel, vok, inv_map, n_var, E=E)
             bad = jnp.isnan(chi2) | jnp.any(jnp.isnan(tn)) \
                 | jnp.any(jnp.isnan(pn))
-            chi2_new = _chi2(pb, Rn, tn, pn, jnp.float32(huber_width))
+            chi2_new = _chi2(pb, Rn, tn, pn, jnp.float32(huber_width),
+                             E)
             improve = (chi2_new < best) & (~bad)
             R = jnp.where(improve, Rn, R)
             t = jnp.where(improve, tn, t)
@@ -282,20 +300,18 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
 
     # prune outlier edges (reference: remove edges with chi2 > thresh
     # mid-way, bundle_adjustment.cpp:96-116) and re-solve on inliers
-    cam_m = jnp.clip(prob.obs_cam, 0, R.shape[0] - 1)
-    p_cam_m = _apply_cams(R, t, cam_m, p)
+    p_cam_m = _apply_cams(R, t, E, p)
     res_m = project2d(prob.obs_f) - project2d(p_cam_m)
     keep = prob.obs_mask & (jnp.linalg.norm(res_m, axis=-1)
                             < 3.0 * reproj_thresh_unitplane)
     prob2 = prob._replace(obs_mask=keep)
-    chi2_1 = _chi2(prob2, R, t, p, jnp.float32(huber_width))
+    chi2_1 = _chi2(prob2, R, t, p, jnp.float32(huber_width), E)
     R, t, p, chi2_final, _ = jax.lax.fori_loop(
         0, n_iter - n1, make_body(prob2),
         (R, t, p, chi2_1, jnp.float32(1e-4)))
 
     # final outlier pruning on unit-plane residual norm
-    cam = jnp.clip(prob.obs_cam, 0, R.shape[0] - 1)
-    p_cam = _apply_cams(R, t, cam, p)
+    p_cam = _apply_cams(R, t, E, p)
     res = project2d(prob.obs_f) - project2d(p_cam)
     inlier = prob.obs_mask & (jnp.linalg.norm(res, axis=-1)
                               < reproj_thresh_unitplane) \

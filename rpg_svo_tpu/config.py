@@ -111,6 +111,13 @@ class Config:
     df_update_every: int = 1
 
     # --- static capacities (TPU additions; not in the reference) ---
+    # New-seed budget per keyframe: detections are compacted to this many
+    # rows BEFORE tile extraction and the (every-frame, masked) seed-init
+    # scatters — the scatters' cost scales with rows, not detections.
+    # The reference has no cap (one seed per unoccupied cell); 384 covers
+    # the bench scenes' detection counts (multiple of 128 per the pool
+    # layout rules).
+    max_seeds_per_kf: int = 384
     max_seeds: int = 2048           # live depth-filter seeds (SoA pool)
     max_points: int = 8192          # map point pool
     max_kfs_pool: int = 64          # keyframe pool (>= max_n_kfs + margin)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from rpg_svo_tpu.geometry.se3 import SE3
+from rpg_svo_tpu.geometry.linalg import onehot_gather_rows
 from rpg_svo_tpu.ops.interp import FlatPyramid
 from rpg_svo_tpu.ops.detector import detect_features
 from rpg_svo_tpu.ops.matcher import (
@@ -105,19 +106,28 @@ def compute_tau(T_ref_cur_t: jnp.ndarray, f: jnp.ndarray, z: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cell_size", "min_score",
-                                             "n_levels", "det_levels"))
+                                             "n_levels", "det_levels",
+                                             "max_per_kf"))
 def init_seeds(m: MapState, kf_slot: jnp.ndarray,
                pyramid: Tuple[jnp.ndarray, ...],
                cam, occupied: jnp.ndarray,
                depth_mean: jnp.ndarray, depth_min: jnp.ndarray,
                cell_size: int, min_score: float = 20.0,
-               n_levels: int = 5, det_levels: int = 3) -> MapState:
+               n_levels: int = 5, det_levels: int = 3,
+               max_per_kf: int = 0) -> MapState:
     """DepthFilter::initializeSeeds: FAST-detect on the new keyframe,
     avoiding occupied cells, one seed per new corner.
 
     Detection runs on the first `det_levels` levels (ref n_pyr_levels=3).
     Increments the keyframe batch counter (Seed::batch_counter)."""
     det = detect_features(pyramid[:det_levels], occupied, cell_size)
+    if max_per_kf and max_per_kf < det["valid"].shape[0]:
+        # compact to the per-KF seed budget BEFORE tile extraction (see
+        # Config.max_seeds_per_kf: allocation-scatter rows, not corners)
+        good = det["valid"] & (det["score"] > min_score)
+        sel, ok = mask_compact(good, max_per_kf)
+        det = {"px": det["px"][sel], "score": det["score"][sel],
+               "level": det["level"][sel], "valid": ok}
     tile, tile_xy0 = extract_tiles(FlatPyramid(pyramid), det["px"],
                                    det["level"])
     det = dict(det, tile=tile, tile_xy0=tile_xy0)
@@ -138,7 +148,9 @@ def has_update_work(m: MapState, T_cur_w: SE3, cam,
     too_old = (m.kf_counter - seed.batch_id) > max_n_kfs
     active = seed.active & ~too_old
     kf_idx = jnp.clip(seed.kf_slot, 0, m.kf.R.shape[0] - 1)
-    T_kf_w = SE3(m.kf.R[kf_idx], m.kf.t[kf_idx])
+    # one-hot matmul, not a scattered gather (see onehot_gather_rows)
+    T_kf_w = SE3(onehot_gather_rows(m.kf.R, kf_idx),
+                 onehot_gather_rows(m.kf.t, kf_idx))
     T_cur_ref = T_cur_w * T_kf_w.inverse()
     mu_safe = jnp.maximum(seed.mu, 1e-8)
     p_cur = T_cur_ref.apply(seed.f / mu_safe[:, None])
@@ -311,7 +323,9 @@ def update_seeds_fields(m: MapState, cur_pyr: FlatPyramid, T_cur_w: SE3,
 
     # --- per-seed relative pose: T_cur_ref = T_cur_w * T_w_kf
     kf_idx = jnp.clip(seed.kf_slot, 0, m.kf.R.shape[0] - 1)
-    T_kf_w = SE3(m.kf.R[kf_idx], m.kf.t[kf_idx])          # batched (S,)
+    # one-hot matmul, not a scattered gather (see onehot_gather_rows)
+    T_kf_w = SE3(onehot_gather_rows(m.kf.R, kf_idx),
+                 onehot_gather_rows(m.kf.t, kf_idx))          # batched (S,)
     T_cur_ref = T_cur_w * T_kf_w.inverse()
     T_ref_cur = T_cur_ref.inverse()
 

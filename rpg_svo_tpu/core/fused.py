@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from rpg_svo_tpu.config import Config
 from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.ops.pyramid import build_pyramid, pyramid_shapes
-from rpg_svo_tpu.ops.detector import grid_dims, cell_index, detect_features
+from rpg_svo_tpu.ops.detector import cell_index, detect_features
 from rpg_svo_tpu.ops.sparse_align import sparse_img_align
 from rpg_svo_tpu.ops.pose_opt import optimize_pose
 from rpg_svo_tpu.ops.interp import FlatPyramid
@@ -364,24 +364,30 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     occupied = jnp.zeros((C,), bool).at[
         cell_index(rep.feat_px, cfg.grid_size, ncx, ncy)].max(feat_valid)
 
+    nD = min(C, cfg.max_seeds_per_kf)
+
     def do_detect(_):
         # detection runs on the first n_pyr_levels levels only (ref:
         # FastDetector gets Config::nPyrLevels()=3, frame_handler_mono.
-        # cpp:46) — the deeper levels exist for the coarse alignment
+        # cpp:46) — the deeper levels exist for the coarse alignment.
+        # Detections compact from the C-cell table to nD rows BEFORE
+        # tile extraction: the seed-init scatters below run EVERY frame
+        # (masked), and their cost scales with rows.
         det = detect_features(pyr[:cfg.n_pyr_levels], occupied,
                               cfg.grid_size)
-        tile, txy0 = extract_tiles(pad,
-                                   det["px"], det["level"])
-        return (det["px"], det["score"], det["level"], det["valid"],
-                tile, txy0)
+        good = det["valid"] & (det["score"] > cfg.triang_min_corner_score)
+        sel, ok = svomap.mask_compact(good, nD)
+        px = det["px"][sel]
+        level = det["level"][sel]
+        tile, txy0 = extract_tiles(pad, px, level)
+        return px, det["score"][sel], level, ok, tile, txy0
 
     def no_detect(_):
-        nC = occupied.shape[0]
-        tile, txy0 = empty_tiles(nC)
-        return (jnp.zeros((nC, 2), jnp.float32),
-                jnp.zeros((nC,), jnp.float32),
-                jnp.zeros((nC,), jnp.int32),
-                jnp.zeros((nC,), bool), tile, txy0)
+        tile, txy0 = empty_tiles(nD)
+        return (jnp.zeros((nD, 2), jnp.float32),
+                jnp.zeros((nD,), jnp.float32),
+                jnp.zeros((nD,), jnp.int32),
+                jnp.zeros((nD,), bool), tile, txy0)
 
     dpx, dscore, dlevel, dvalid, dtile, dtxy0 = jax.lax.cond(
         is_kf, do_detect, no_detect, None)

@@ -17,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from rpg_svo_tpu.geometry.se3 import SE3
+
 from rpg_svo_tpu.ba.schur import BAProblem, solve_ba
 from rpg_svo_tpu.core.map import (
     MapState, TYPE_DELETED, TYPE_UNKNOWN, kf_positions,
@@ -181,9 +181,9 @@ def run_global_ba(m: MapState, huber_width_px: jnp.ndarray,
 
     obs_cam, obs_f, obs_level, obs_mask = _extract_observations(m)
     # pre-filter: current reprojection error vs poseoptim threshold
-    from rpg_svo_tpu.ba.schur import _apply_cams
-    cam_safe = jnp.clip(obs_cam, 0, K - 1)
-    p_c = _apply_cams(kf.R, kf.t, cam_safe, pt.pos)
+    from rpg_svo_tpu.ba.schur import _apply_cams, obs_cam_onehot
+    E_pre, _ = obs_cam_onehot(obs_cam, K)
+    p_c = _apply_cams(kf.R, kf.t, E_pre, pt.pos)
     err = project2d(obs_f) - project2d(p_c)
     err2 = jnp.sum(err * err, axis=-1)
     thresh1 = (poseoptim_thresh_px / fx) ** 2

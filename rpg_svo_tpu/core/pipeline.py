@@ -248,7 +248,8 @@ class FrameHandler:
             self.map, slot, frame.pyr, self.cam, good,
             depth_mean, 0.5 * depth_min, cell_size=self.cfg.grid_size,
             min_score=self.cfg.triang_min_corner_score,
-            det_levels=self.cfg.n_pyr_levels)
+            det_levels=self.cfg.n_pyr_levels,
+            max_per_kf=self.cfg.max_seeds_per_kf)
         self.last_frame = frame
         self.num_obs_last = int(jnp.sum(good))
         self.stage = STAGE_DEFAULT_FRAME
@@ -372,7 +373,8 @@ class FrameHandler:
             self.map, slot1, frame.pyr, self.cam, occupied,
             depth_mean, 0.5 * depth_min, cell_size=self.cfg.grid_size,
             min_score=self.cfg.triang_min_corner_score,
-            det_levels=self.cfg.n_pyr_levels)
+            det_levels=self.cfg.n_pyr_levels,
+            max_per_kf=self.cfg.max_seeds_per_kf)
         self.num_obs_last = int(jnp.sum(tv.inlier))
         self.initializer.reset()
         self.stage = STAGE_DEFAULT_FRAME
@@ -577,7 +579,8 @@ class FrameHandler:
             self.map, slot, frame.pyr, self.cam, occupied,
             depth_mean, 0.5 * depth_min, cell_size=cfg.grid_size,
             min_score=cfg.triang_min_corner_score,
-            det_levels=cfg.n_pyr_levels)
+            det_levels=cfg.n_pyr_levels,
+            max_per_kf=cfg.max_seeds_per_kf)
         info["n_seeds"] = int(jnp.sum(self.map.seed.active))
 
         # cap the map size (drop the furthest keyframe)

@@ -107,3 +107,23 @@ def solve6x6_spd(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         xi = (y[i] - jnp.sum(L[:, i] * x)) / L[i, i]
         x = x + xi * (idx == i).astype(b.dtype)
     return x
+
+
+def onehot_gather_rows(table: jnp.ndarray, idx: jnp.ndarray):
+    """table[idx] for a SMALL table via a one-hot MXU matmul.
+
+    Scattered gathers cost ~9-14 ns/ELEMENT on TPU; for per-item rows
+    from a small pool (keyframe poses per seed/observation) the one-hot
+    contraction is 1-2 orders of magnitude faster (measured: the per-seed
+    T_kf gather in has_update_work alone was 0.42 ms/frame of the fast
+    preset; BA's R[cam] gathers were ~8 ms per KF-frame).  idx (...,);
+    table (K, ...) with K <= a few hundred.  HIGHEST precision keeps the
+    gathered values exact (one-hot rows are exact in bf16; the TABLE
+    operand would otherwise be truncated)."""
+    import jax
+    K = table.shape[0]
+    flat = table.reshape(K, -1)
+    E = jax.nn.one_hot(idx.reshape(-1), K, dtype=flat.dtype)
+    out = jnp.einsum("nk,kd->nd", E, flat,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(idx.shape + table.shape[1:])

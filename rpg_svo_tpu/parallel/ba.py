@@ -27,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.ba.schur import (
     BAProblem, _chi2, assemble_solve, build_system, expand_dx,
-    point_backsub, variable_compaction,
+    obs_cam_onehot, point_backsub, variable_compaction,
 )
 
 
@@ -48,12 +48,13 @@ def distributed_ba_solve(mesh: Mesh, prob: BAProblem, n_iter: int = 10,
                           obs_level, obs_mask)
         # replicated: every device computes the same compaction
         vsel, vok, inv_map = variable_compaction(var, n_var)
+        E, _ = obs_cam_onehot(obs_cam, K)    # iteration-invariant
 
         def body(i, carry):
             R, t, p, best, damping = carry
             U, b_c, S_corr, rhs_corr, aux, _ = build_system(
                 shard._replace(p_w=p), R, t, p,
-                jnp.float32(huber_width), damping, inv_map, n_var)
+                jnp.float32(huber_width), damping, inv_map, n_var, E=E)
             U = jax.lax.psum(U, axis)
             b_c = jax.lax.psum(b_c, axis)
             S_corr = jax.lax.psum(S_corr, axis)
@@ -67,7 +68,7 @@ def distributed_ba_solve(mesh: Mesh, prob: BAProblem, n_iter: int = 10,
             # chi2 rollback (global reduction)
             chi2_new = jax.lax.psum(
                 _chi2(shard._replace(p_w=p_new), T_new.R, T_new.t,
-                      p_new, jnp.float32(huber_width)), axis)
+                      p_new, jnp.float32(huber_width), E), axis)
             ok = (chi2_new < best) & jnp.isfinite(chi2_new)
             R = jnp.where(ok, T_new.R, R)
             t = jnp.where(ok, T_new.t, t)
@@ -78,7 +79,7 @@ def distributed_ba_solve(mesh: Mesh, prob: BAProblem, n_iter: int = 10,
             return R, t, p, best, damping
 
         chi2_0 = jax.lax.psum(
-            _chi2(shard, R, t, p_w, jnp.float32(huber_width)), axis)
+            _chi2(shard, R, t, p_w, jnp.float32(huber_width), E), axis)
         R, t, p, chi2, _ = jax.lax.fori_loop(
             0, n_iter, body, (R, t, p_w, chi2_0, jnp.float32(1e-4)))
         return R, t, p, chi2
