@@ -51,10 +51,13 @@ def run_preset(name: str, n_frames: int, chunk: int):
     imgs = []
     for i in range(n_frames):
         img, depth, T = ds.frame(i)
-        imgs.append(img)
+        # accumulate on HOST: 400 device-resident frames + a device-side
+        # stack fragment HBM (measured ResourceExhausted right after a
+        # prior TPU process exit); one bulk transfer instead
+        imgs.append(np.asarray(img))
         if i == 0:
             img0, depth0, T0 = img, depth, T
-    imgs = jnp.stack(imgs[1:])
+    imgs = jnp.asarray(np.stack(imgs[1:]))
     jax.block_until_ready(imgs)
     fh.set_first_frame_with_depth(jnp.array(img0, copy=True),
                                   T0.inverse(), depth0)

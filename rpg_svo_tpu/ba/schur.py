@@ -54,8 +54,15 @@ from rpg_svo_tpu.geometry.cameras import project2d
 from rpg_svo_tpu.geometry.linalg import inv3x3
 from rpg_svo_tpu.ops.robust import huber_weight
 
-# f32 MXU accumulation for the big one-hot aggregations (see module doc)
-_ein = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+# f32 MXU accumulation for the big one-hot aggregations (see module doc).
+# SVO_BA_PRECISION=high selects bf16x3 (3-pass) instead of the 6-pass
+# f32 decomposition — measurement/bisect hook only.
+import os as _os
+_PRECISION = {"high": jax.lax.Precision.HIGH,
+              "highest": jax.lax.Precision.HIGHEST,
+              "default": jax.lax.Precision.DEFAULT}[
+    _os.environ.get("SVO_BA_PRECISION", "highest")]
+_ein = functools.partial(jnp.einsum, precision=_PRECISION)
 
 
 class BAProblem(NamedTuple):
@@ -167,8 +174,17 @@ def variable_compaction(variable: jnp.ndarray, n_var: int):
     return vsel, vok, inv_map
 
 
+def var_onehot(obs_cam, inv_map, n_var: int):
+    """(P, M, n_var) one-hot of the compact VARIABLE-camera index —
+    iteration-invariant; build once per solve (rebuilding it per GN
+    iteration re-materializes a lane-padded (P*M, n_var->128) buffer)."""
+    K = inv_map.shape[0]
+    vidx = inv_map[jnp.clip(obs_cam, 0, K - 1)]
+    return jax.nn.one_hot(vidx, n_var, dtype=jnp.float32)
+
+
 def build_system(prob: BAProblem, R, t, p_w, huber_k, damping,
-                 inv_map, n_var: int, E=None):
+                 inv_map, n_var: int, E=None, Ev=None):
     """One GN iteration's blocks over the compacted variable cameras.
 
     Returns (U (Vn,6,6), b_c (Vn,6), S_corr (Vn,Vn,6,6), rhs_corr
@@ -181,10 +197,10 @@ def build_system(prob: BAProblem, R, t, p_w, huber_k, damping,
     r, Jc, Jp, w = _residuals_jacobians(prob, R, t, p_w, huber_k, E)
     chi2 = jnp.sum(w * jnp.sum(r * r, -1))
     camPM = jnp.clip(prob.obs_cam, 0, K - 1)
-    vidx = inv_map[camPM]                               # (P, M) in [0, Vn]
     # observation -> compact-variable one-hot; fixed cams get a zero row
     # (they constrain points only, like the reference's fixed vertices)
-    E = jax.nn.one_hot(vidx, n_var, dtype=Jc.dtype)     # (P, M, Vn)
+    E = Ev if Ev is not None else var_onehot(prob.obs_cam, inv_map,
+                                             n_var)    # (P, M, Vn)
 
     JcW = Jc * w[..., None, None]
     G = jnp.sum(JcW[..., :, :, None] * Jc[..., :, None, :], axis=-3)
@@ -242,11 +258,11 @@ def point_backsub(Wc, Vinv, b_p, camPM, dx_c, p_valid):
 
 
 def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping,
-             vsel, vok, inv_map, n_var: int, E=None):
+             vsel, vok, inv_map, n_var: int, E=None, Ev=None):
     """One Schur GN step. Returns (R', t', p_w', chi2)."""
     K = R.shape[0]
     U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, camPM), chi2 = build_system(
-        prob, R, t, p_w, huber_k, damping, inv_map, n_var, E=E)
+        prob, R, t, p_w, huber_k, damping, inv_map, n_var, E=E, Ev=Ev)
     dx_v = assemble_solve(U, b_c, S_corr, rhs_corr, vok, damping)
     dx_c = expand_dx(dx_v, vsel, vok, K)
     dx_p = point_backsub(Wc, Vinv, b_p, camPM, dx_c, prob.p_valid)
@@ -270,6 +286,7 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
     n_var = K if not n_var_max else min(K, n_var_max)
     vsel, vok, inv_map = variable_compaction(prob.cam_variable, n_var)
     E, _ = obs_cam_onehot(prob.obs_cam, K)   # iteration-invariant
+    Ev = var_onehot(prob.obs_cam, inv_map, n_var)
     chi2_init = _chi2(prob, prob.R, prob.t, prob.p_w,
                       jnp.float32(huber_width), E)
 
@@ -278,7 +295,8 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
             R, t, p, best, damping = carry
             Rn, tn, pn, chi2 = _gn_step(pb, R, t, p,
                                         jnp.float32(huber_width), damping,
-                                        vsel, vok, inv_map, n_var, E=E)
+                                        vsel, vok, inv_map, n_var, E=E,
+                                        Ev=Ev)
             bad = jnp.isnan(chi2) | jnp.any(jnp.isnan(tn)) \
                 | jnp.any(jnp.isnan(pn))
             chi2_new = _chi2(pb, Rn, tn, pn, jnp.float32(huber_width),

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.ba.schur import (
     BAProblem, _chi2, assemble_solve, build_system, expand_dx,
-    obs_cam_onehot, point_backsub, variable_compaction,
+    obs_cam_onehot, point_backsub, var_onehot, variable_compaction,
 )
 
 
@@ -49,12 +49,14 @@ def distributed_ba_solve(mesh: Mesh, prob: BAProblem, n_iter: int = 10,
         # replicated: every device computes the same compaction
         vsel, vok, inv_map = variable_compaction(var, n_var)
         E, _ = obs_cam_onehot(obs_cam, K)    # iteration-invariant
+        Ev = var_onehot(obs_cam, inv_map, n_var)
 
         def body(i, carry):
             R, t, p, best, damping = carry
             U, b_c, S_corr, rhs_corr, aux, _ = build_system(
                 shard._replace(p_w=p), R, t, p,
-                jnp.float32(huber_width), damping, inv_map, n_var, E=E)
+                jnp.float32(huber_width), damping, inv_map, n_var,
+                E=E, Ev=Ev)
             U = jax.lax.psum(U, axis)
             b_c = jax.lax.psum(b_c, axis)
             S_corr = jax.lax.psum(S_corr, axis)
