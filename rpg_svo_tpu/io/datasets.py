@@ -104,6 +104,12 @@ class TUMDataset:
         img = load_image_gray(os.path.join(self.root, rel))
         return img, ts
 
+    def image_path(self, i: int) -> str:
+        return os.path.join(self.root, self.frames[i][1])
+
+    def timestamp(self, i: int) -> float:
+        return self.frames[i][0]
+
 
 class EuRoCDataset:
     """EuRoC MAV: <dir>/mav0/cam0/data.csv (+ data/*.png) and
@@ -140,6 +146,12 @@ class EuRoCDataset:
         img = load_image_gray(os.path.join(self.img_dir, name))
         return img, ts
 
+    def image_path(self, i: int) -> str:
+        return os.path.join(self.img_dir, self.frames[i][1])
+
+    def timestamp(self, i: int) -> float:
+        return self.frames[i][0]
+
 
 class PrefetchingSource:
     """Background-thread image prefetcher over any dataset with .frame(i).
@@ -175,3 +187,41 @@ class PrefetchingSource:
 
     def close(self):
         self._stop = True
+
+
+class NativePrefetchingSource:
+    """File-dataset prefetcher on the C++ worker pool (loader.cpp
+    svo_prefetch_*): decode threads are native (no GIL), the bounded
+    in-flight window is enforced in C++, and frames come back in order.
+
+    Works for datasets whose frames are image FILES (exposes
+    .image_path(i) + .timestamp(i)); falls back to PrefetchingSource
+    when the native library is unavailable."""
+
+    def __init__(self, dataset, n_workers: int = 2, n_ahead: int = 6):
+        from rpg_svo_tpu.native.loader import NativePrefetcher
+        self.ds = dataset
+        self.pf = NativePrefetcher(n_workers=n_workers, queue_cap=n_ahead)
+        self._submitted = 0
+
+    def _pump(self):
+        while self._submitted < len(self.ds):
+            if not self.pf.submit(self._submitted,
+                                  self.ds.image_path(self._submitted)):
+                break
+            self._submitted += 1
+
+    def __iter__(self):
+        try:
+            self._pump()
+            for i in range(len(self.ds)):
+                img = self.pf.get(i)
+                self._pump()
+                yield i, (img, self.ds.timestamp(i))
+        finally:
+            self.close()
+
+    def close(self):
+        if self.pf is not None:
+            self.pf.close()
+            self.pf = None

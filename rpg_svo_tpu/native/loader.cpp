@@ -102,3 +102,126 @@ int svo_load_gray_u8(const char* path, unsigned char* out, int* w, int* h,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native prefetch queue: a worker-thread pool decodes frames ahead of the
+// tracker (the reference's ROS subscriber queue + vk::FileReader role,
+// vo_node.cpp:163-169).  Python submits (id, path) pairs; workers decode
+// into an in-flight store; get() blocks until the id is ready.  All
+// synchronization is C++-side (std::thread/mutex/condvar) — the decode
+// pipeline never touches the Python GIL.
+// ---------------------------------------------------------------------------
+
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Decoded {
+  std::vector<float> px;
+  int w = 0, h = 0;
+  int rc = -1;
+};
+
+struct Prefetcher {
+  std::mutex mu;
+  std::condition_variable cv_submit;   // workers wait for work
+  std::condition_variable cv_done;     // consumers wait for results
+  std::deque<std::pair<long, std::string>> queue;
+  std::unordered_map<long, Decoded> done;
+  std::vector<std::thread> workers;
+  long max_pixels = 0;
+  size_t queue_cap = 0;
+  bool stopping = false;
+
+  void worker() {
+    std::vector<float> buf;
+    for (;;) {
+      std::pair<long, std::string> job;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_submit.wait(lk, [&] { return stopping || !queue.empty(); });
+        if (stopping && queue.empty()) return;
+        job = queue.front();
+        queue.pop_front();
+      }
+      Decoded d;
+      d.px.resize(max_pixels);
+      d.rc = svo_load_gray(job.second.c_str(), d.px.data(), &d.w, &d.h,
+                           max_pixels);
+      if (d.rc == 0) d.px.resize((size_t)d.w * d.h);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        done.emplace(job.first, std::move(d));
+      }
+      cv_done.notify_all();
+    }
+  }
+};
+
+Prefetcher* g_pf = nullptr;
+
+}  // namespace
+
+extern "C" {
+
+// Start the pool (idempotent; restarts with new parameters if called
+// again after svo_prefetch_stop).  Returns 0 on success.
+int svo_prefetch_start(int n_workers, int queue_cap, long max_pixels) {
+  if (g_pf) return -1;
+  g_pf = new Prefetcher();
+  g_pf->max_pixels = max_pixels;
+  g_pf->queue_cap = queue_cap > 0 ? (size_t)queue_cap : 8;
+  for (int i = 0; i < (n_workers > 0 ? n_workers : 2); ++i)
+    g_pf->workers.emplace_back([] { g_pf->worker(); });
+  return 0;
+}
+
+// Enqueue a decode job.  Returns 0, or -1 if the in-flight window
+// (queue + undrained results) is at capacity — caller retries after
+// draining, which bounds memory like the reference's queue cap.
+int svo_prefetch_submit(long id, const char* path) {
+  if (!g_pf) return -2;
+  std::lock_guard<std::mutex> lk(g_pf->mu);
+  if (g_pf->queue.size() + g_pf->done.size() >= g_pf->queue_cap)
+    return -1;
+  g_pf->queue.emplace_back(id, std::string(path));
+  g_pf->cv_submit.notify_one();
+  return 0;
+}
+
+// Block until job `id` is decoded; copy into out.  Returns the decode rc.
+int svo_prefetch_get(long id, float* out, int* w, int* h) {
+  if (!g_pf) return -2;
+  Decoded d;
+  {
+    std::unique_lock<std::mutex> lk(g_pf->mu);
+    g_pf->cv_done.wait(lk, [&] { return g_pf->done.count(id) > 0; });
+    d = std::move(g_pf->done[id]);
+    g_pf->done.erase(id);
+  }
+  if (d.rc != 0) return d.rc;
+  memcpy(out, d.px.data(), d.px.size() * sizeof(float));
+  *w = d.w;
+  *h = d.h;
+  return 0;
+}
+
+void svo_prefetch_stop() {
+  if (!g_pf) return;
+  {
+    std::lock_guard<std::mutex> lk(g_pf->mu);
+    g_pf->stopping = true;
+  }
+  g_pf->cv_submit.notify_all();
+  for (auto& t : g_pf->workers) t.join();
+  delete g_pf;
+  g_pf = nullptr;
+}
+
+}  // extern "C"

@@ -262,3 +262,36 @@ def test_edgelet_overlay_and_markers(tmp_path):
     plot_markers([mk, mk], pdf)
     import os
     assert os.path.getsize(pdf) > 0
+
+
+def test_native_prefetch_queue(tmp_path):
+    """C++ worker-pool prefetch (loader.cpp svo_prefetch_*): decode on
+    native threads with a bounded in-flight window, frames returned in
+    order through NativePrefetchingSource."""
+    from rpg_svo_tpu.native.loader import _get_lib, NativePrefetcher
+    if _get_lib() is None:
+        import pytest
+        pytest.skip("native loader not built")
+    root = tmp_path / "tum3"
+    (root / "rgb").mkdir(parents=True)
+    with open(root / "rgb.txt", "w") as f:
+        for i in range(10):
+            rel = f"rgb/{i}.png"
+            _write_png(str(root / rel), np.full((12, 16), i, np.uint8))
+            f.write(f"{i * 0.1:.4f} {rel}\n")
+    ds = TUMDataset(str(root))
+    assert ds.image_path(3).endswith("rgb/3.png")
+    from rpg_svo_tpu.io.datasets import NativePrefetchingSource
+    src = NativePrefetchingSource(ds, n_workers=3, n_ahead=4)
+    got = [(i, float(img[0, 0]), ts) for i, (img, ts) in src]
+    assert [g[0] for g in got] == list(range(10))
+    assert [g[1] for g in got] == [float(i) for i in range(10)]
+    assert abs(got[7][2] - 0.7) < 1e-9
+
+    # direct queue API: out-of-order get
+    with NativePrefetcher(n_workers=2, queue_cap=4) as pf:
+        assert pf.submit(100, str(root / "rgb/5.png"))
+        assert pf.submit(101, str(root / "rgb/2.png"))
+        img = pf.get(101)
+        assert img.shape == (12, 16) and img[0, 0] == 2.0
+        assert pf.get(100)[0, 0] == 5.0
