@@ -99,10 +99,7 @@ def run(args, cfg=None, cam_override=None):
         cam = PinholeCamera.make(shape[1], shape[0], *cam_p[:4])
         gt = ds.gt
 
-        def frames():
-            for i in range(min(len(ds), args.frames)):
-                img, ts = ds.frame(i)
-                yield ts, jnp.asarray(img), None, None
+        frames = _file_frames(ds, args.frames)
     elif args.dataset == "euroc":
         from rpg_svo_tpu.io.datasets import EuRoCDataset
         from rpg_svo_tpu.geometry.cameras import PinholeCamera
@@ -117,10 +114,7 @@ def run(args, cfg=None, cam_override=None):
                                  *(cam_p[4:8] if len(cam_p) > 4 else []))
         gt = ds.gt
 
-        def frames():
-            for i in range(min(len(ds), args.frames)):
-                img, ts = ds.frame(i)
-                yield ts, jnp.asarray(img), None, None
+        frames = _file_frames(ds, args.frames)
     elif args.dataset == "blender":
         # reference blender-benchmark protocol
         # (svo_ros/src/benchmark_node.cpp:183-256): GT trajectory +
@@ -302,6 +296,30 @@ def run_experiment(args):
         json.dump({"label": exp.label, "datasets": reports}, f, indent=2)
     print(f"# experiment report: {out}")
     return reports
+
+
+def _file_frames(ds, max_frames: int):
+    """Frame iterator over a file dataset, decoding ahead on the native
+    C++ prefetch pool when available (rpg_svo_tpu/native/loader.cpp),
+    falling back to serial decode."""
+    n = min(len(ds), max_frames)
+
+    def gen():
+        try:
+            from rpg_svo_tpu.io.datasets import NativePrefetchingSource
+            source = NativePrefetchingSource(ds)
+        except Exception:   # native lib unavailable -> serial decode
+            source = None
+        if source is None:
+            for i in range(n):
+                img, ts = ds.frame(i)
+                yield ts, jnp.asarray(img), None, None
+            return
+        for i, (img, ts) in source:
+            if i >= n:
+                break
+            yield ts, jnp.asarray(img), None, None
+    return gen
 
 
 def main():
