@@ -188,7 +188,7 @@ def build_system(prob: BAProblem, R, t, p_w, huber_k, damping,
     """One GN iteration's blocks over the compacted variable cameras.
 
     Returns (U (Vn,6,6), b_c (Vn,6), S_corr (Vn,Vn,6,6), rhs_corr
-    (Vn,6), aux=(Wc, Vinv, b_p, camPM), chi2).  Shared by the
+    (Vn,6), aux=(Wc, Vinv, b_p, Y), chi2).  Shared by the
     single-device solver and the point-sharded distributed one (the
     four leading outputs are what the mesh psums)."""
     K = R.shape[0]
@@ -196,7 +196,6 @@ def build_system(prob: BAProblem, R, t, p_w, huber_k, damping,
         E, _ = obs_cam_onehot(prob.obs_cam, K)
     r, Jc, Jp, w = _residuals_jacobians(prob, R, t, p_w, huber_k, E)
     chi2 = jnp.sum(w * jnp.sum(r * r, -1))
-    camPM = jnp.clip(prob.obs_cam, 0, K - 1)
     # observation -> compact-variable one-hot; fixed cams get a zero row
     # (they constrain points only, like the reference's fixed vertices)
     E = Ev if Ev is not None else var_onehot(prob.obs_cam, inv_map,
@@ -217,14 +216,23 @@ def build_system(prob: BAProblem, R, t, p_w, huber_k, damping,
     Vinv = jnp.where(prob.p_valid[:, None, None], Vinv, 0.0)
 
     # Schur correction: S_corr[v,w] = sum_p Y_pv Vinv_p Y_pwᵀ with
-    # Y_pv = Σ_{m: cam_m=v} W_pm aggregated by one-hot matmuls
-    WV = jnp.sum(Wc[..., :, None] * Vinv[:, None, None, :, :], axis=-2)
-    A = _ein("pmv,pmac->acpv", E, WV)                   # (6, 3, P, Vn)
-    B = _ein("pmv,pmbc->bcpv", E, Wc)
-    S_corr = _ein("acpv,bcpw->vwab", A, B)              # (Vn, Vn, 6, 6)
-    g = jnp.sum(WV * b_p[:, None, None, :], axis=-1)    # (P, M, 6)
-    rhs_corr = _ein("pma,pmv->va", g, E)
-    return U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, camPM), chi2
+    # Y_pv = Σ_{m: cam_m=v} W_pm aggregated by one-hot matmuls.
+    # LAYOUT RULE (measured, r4): every intermediate keeps the big P axis
+    # MINOR-MOST.  The earlier (6,3,P,Vn) ordering put Vn (≤17) in the
+    # lane dim — XLA padded it to 128 lanes (≈150 MB per operand) and
+    # inserted ~0.9 ms/frame of pure relayout copies before the final
+    # contraction.
+    Y = _ein("pmv,pmac->vacp", E, Wc)                   # (Vn, 6, 3, P)
+    YV = _ein("vacp,pcd->vadp", Y, Vinv)                # (Vn, 6, 3, P)
+    Vn = Y.shape[0]
+    P3 = Y.shape[2] * Y.shape[3]
+    # (Vn·6, 3P) @ (3P, Vn·6) on the MXU — one big clean matmul
+    S_flat = jax.lax.dot(
+        YV.reshape(Vn * 6, P3), Y.reshape(Vn * 6, P3).T,
+        precision=jax.lax.Precision.HIGHEST)
+    S_corr = S_flat.reshape(Vn, 6, Vn, 6).transpose(0, 2, 1, 3)
+    rhs_corr = _ein("vacp,pc->va", YV, b_p)             # (Vn, 6)
+    return U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, Y), chi2
 
 
 def assemble_solve(U, b_c, S_corr, rhs_corr, vok, damping):
@@ -249,10 +257,20 @@ def expand_dx(dx_v, vsel, vok, K: int):
     return jnp.zeros((K + 128, 6), dx_v.dtype).at[tgt].set(dx_v)[:K]
 
 
-def point_backsub(Wc, Vinv, b_p, camPM, dx_c, p_valid):
-    """dx_p = V⁻¹ (b_p − Wᵀ dx_c[cam]) — local to each point (shard)."""
-    dxc_obs = dx_c[camPM]                                # (P, M, 6)
-    Wt_dxc = jnp.sum(Wc * dxc_obs[..., None], axis=(1, 2))   # (P, 3)
+def point_backsub(Wc, Vinv, b_p, Y, dx_v, p_valid):
+    """dx_p = V⁻¹ (b_p − Wᵀ dx_c[cam]) — local to each point (shard).
+
+    Uses the aggregated coupling tensor Y (Vn, 6, 3, P) from
+    build_system: Wᵀdx_c[p, c] = Σ_{v,a} Y[v,a,c,p]·dx_v[v,a] (fixed
+    cams have zero dx and zero Y rows).  The earlier dx_c[camPM]
+    scattered gather materialized a (P·M, 6) array whose 6-lane minor
+    dim padded to 128 — ~0.25 ms/frame of pure write traffic."""
+    Vn = Y.shape[0]
+    P3 = Y.shape[2] * Y.shape[3]
+    Wt_dxc = jax.lax.dot(
+        dx_v.reshape(1, Vn * 6), Y.reshape(Vn * 6, P3),
+        precision=jax.lax.Precision.HIGHEST).reshape(
+            Y.shape[2], Y.shape[3]).T                    # (P, 3)
     dx_p = jnp.sum(Vinv * (b_p - Wt_dxc)[:, None, :], axis=-1)
     return jnp.where(p_valid[:, None], dx_p, 0.0)
 
@@ -261,11 +279,11 @@ def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping,
              vsel, vok, inv_map, n_var: int, E=None, Ev=None):
     """One Schur GN step. Returns (R', t', p_w', chi2)."""
     K = R.shape[0]
-    U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, camPM), chi2 = build_system(
+    U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, Y), chi2 = build_system(
         prob, R, t, p_w, huber_k, damping, inv_map, n_var, E=E, Ev=Ev)
     dx_v = assemble_solve(U, b_c, S_corr, rhs_corr, vok, damping)
     dx_c = expand_dx(dx_v, vsel, vok, K)
-    dx_p = point_backsub(Wc, Vinv, b_p, camPM, dx_c, prob.p_valid)
+    dx_p = point_backsub(Wc, Vinv, b_p, Y, dx_v, prob.p_valid)
     T_new = SE3.exp(dx_c) * SE3(R, t)
     return T_new.R, T_new.t, p_w + dx_p, chi2
 

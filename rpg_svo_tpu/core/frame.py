@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from rpg_svo_tpu.geometry.se3 import SE3
 from rpg_svo_tpu.ops.interp import FlatPyramid
 from rpg_svo_tpu.ops.pallas_tiles import PaddedPyramid
-from rpg_svo_tpu.ops.pyramid import build_pyramid
+from rpg_svo_tpu.ops.pyramid import build_padded_pyramid, build_pyramid
 from rpg_svo_tpu.ops.robust import masked_median
 
 
@@ -47,8 +47,8 @@ class FrameState(NamedTuple):
 def make_frame(img: jnp.ndarray, n_levels: int, n_cells: int,
                frame_id: int, timestamp: float,
                T_f_w: SE3 | None = None) -> FrameState:
-    pyr = build_pyramid(img, n_levels)
-    pad = PaddedPyramid(pyr)
+    pad = build_padded_pyramid(img, n_levels)
+    pyr = pad.levels()
     if T_f_w is None:
         T_f_w = SE3.identity()
     return FrameState(

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from rpg_svo_tpu.config import Config
 from rpg_svo_tpu.geometry.se3 import SE3
-from rpg_svo_tpu.ops.pyramid import build_pyramid, pyramid_shapes
+from rpg_svo_tpu.ops.pyramid import build_padded_pyramid, pyramid_shapes
 from rpg_svo_tpu.ops.detector import cell_index, detect_features
 from rpg_svo_tpu.ops.sparse_align import sparse_img_align
 from rpg_svo_tpu.ops.pose_opt import optimize_pose
@@ -101,12 +101,14 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     F = min(-(-C // 8) * 8, -(-cfg.max_fts // 128) * 128)
     n_levels = cfg.n_levels_total
     shapes = pyramid_shapes(img_shape, n_levels)
-    pyr = build_pyramid(img, n_levels)
     # lay the pyramid out ONCE per frame: the padded stack feeds the
     # Pallas tile kernels directly, backs the strided flat sampler, is
     # what gets stored into the keyframe pool, and is carried in VOState
     # as next frame's alignment reference — no relayouts downstream.
-    pad = PaddedPyramid(pyr)
+    # Levels are produced IN the padded layout by MXU pair-averaging
+    # matmuls (ops/pyramid.build_padded_pyramid); `pyr` views the stack.
+    pad = build_padded_pyramid(img, n_levels)
+    pyr = pad.levels()
     flat = pad.flat_view()
     # cfg.ablate: stages stubbed out at trace time, for device-time
     # attribution by differencing (tools_stage_timing.py). () in production.
