@@ -143,7 +143,7 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     # padded layout; the cond's one output buffer is a single stack.
     ref_stack = jax.lax.cond(
         reloc,
-        lambda _: m.kf.flat_pyr[kf_slot].reshape(pad.Hs, pad.Ws),
+        lambda _: m.kf.flat_pyr[kf_slot],
         lambda _: state.pad.stack, None)
     ref_pad = PaddedPyramid.from_stack(ref_stack, shapes)
     ref_pyr = ref_pad.levels()
@@ -327,7 +327,7 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
     padC = lambda a, fill: a if a.shape[0] == C else jnp.concatenate(
         [a, jnp.full((C - a.shape[0],) + a.shape[1:], fill, a.dtype)])
     m2, slot = svomap.add_keyframe(
-        m, pad.stack.reshape(-1), T_out, frame_like.frame_id,
+        m, pad.stack, T_out, frame_like.frame_id,
         padC(rep.feat_px, 0), padC(feat_f, 0), padC(rep.feat_level, 0),
         padC(frame_like.feat_point, -1), padC(feat_valid, False),
         padC(kf_depth, 1.0),
@@ -393,11 +393,23 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
 
     dpx, dscore, dlevel, dvalid, dtile, dtxy0 = jax.lax.cond(
         is_kf, do_detect, no_detect, None)
-    m2 = df.init_seeds_from_detection(
-        m2, slot, {"px": dpx, "score": dscore, "level": dlevel,
-                   "valid": dvalid, "tile": dtile, "tile_xy0": dtxy0},
-        cam, depth_mean, 0.5 * depth_min_,
-        min_score=cfg.triang_min_corner_score, enable=is_kf)
+    # seed allocation under the is_kf cond: the ~17 masked pool scatters
+    # cost 0.114 ms/frame when run unconditionally, while carrying the
+    # seed store (≈5 MB incl. the tile pool) through the cond outputs is
+    # a ~10 µs bandwidth-priced copy.  (The df UPDATE cond above still
+    # returns field deltas only — its operand set spans far more state.)
+    def do_seed_init(_):
+        mi = df.init_seeds_from_detection(
+            m2, slot, {"px": dpx, "score": dscore, "level": dlevel,
+                       "valid": dvalid, "tile": dtile,
+                       "tile_xy0": dtxy0},
+            cam, depth_mean, 0.5 * depth_min_,
+            min_score=cfg.triang_min_corner_score, enable=True)
+        return mi.seed, mi.kf_counter
+
+    seed_new, kfc_new = jax.lax.cond(
+        is_kf, do_seed_init, lambda _: (m2.seed, m2.kf_counter), None)
+    m2 = m2._replace(seed=seed_new, kf_counter=kfc_new)
     # map cap: drop the furthest KF (but never the one just added)
     if cfg.max_n_kfs > 2:
         over = svomap.n_active_kfs(m2) > cfg.max_n_kfs

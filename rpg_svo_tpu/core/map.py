@@ -31,7 +31,7 @@ TYPE_GOOD = 3
 class KeyframeStore(NamedTuple):
     """Keyframe pool. Pyramids live as flat buffers (one FlatPyramid layout
     shared by all slots); features are per-KF fixed-capacity tables."""
-    flat_pyr: jnp.ndarray     # (K, L) all pyramid levels flattened
+    flat_pyr: jnp.ndarray     # (K, rows, cols) padded pyramid stacks
     R: jnp.ndarray            # (K, 3, 3) T_f_w rotation
     t: jnp.ndarray            # (K, 3)    T_f_w translation
     frame_id: jnp.ndarray     # (K,) int32, -1 when free
@@ -48,8 +48,9 @@ class KeyframeStore(NamedTuple):
     kp5_valid: jnp.ndarray    # (K, 5) bool
     # creation-time intensity tile per feature (ops/patches.py): all later
     # affine patch warps read this instead of the keyframe pyramid
-    feat_tile: jnp.ndarray     # (K, F, TILE_R*TILE_R) f32 flat rows
-    feat_tile_xy0: jnp.ndarray  # (K, F, 2) int32 tile origin (level coords)
+    feat_tile: jnp.ndarray     # (K, Fs, TILE_R*TILE_R) f32 flat rows
+    feat_tile_xy0: jnp.ndarray  # (K, Fs, 2) int32 tile origin; Fs = F
+                                # rounded up to 8 (free row-flatten)
 
     @property
     def T_f_w(self) -> SE3:
@@ -114,7 +115,7 @@ class MapState(NamedTuple):
 
 
 def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
-             n_seeds: int, flat_len: int) -> MapState:
+             n_seeds: int, pyr_shape: Tuple[int, int]) -> MapState:
     # SCRATCH-ROW CONVENTION: the LAST row of every pool (keyframes,
     # points, seeds) is reserved as a write scratch slot and is never
     # handed out by the free-slot search.  Masked per-frame inserts land
@@ -124,7 +125,12 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
     # growing them by one would recreate the odd-leading-dim table
     # layouts implicated in TPU worker faults (see CLAUDE.md).
     kf = KeyframeStore(
-        flat_pyr=jnp.zeros((n_kfs, flat_len), jnp.float32),
+        # (K, rows, cols) with 8/128-aligned trailing dims: inserting a
+        # keyframe pyramid is then a CONTIGUOUS tiled write.  The old
+        # (K, rows*cols) row-per-slot layout made the same insert write
+        # 1-of-8 sublanes of every tile in the slot's stripe — ~8x
+        # read-modify-write traffic, 0.078 ms/frame (profiled).
+        flat_pyr=jnp.zeros((n_kfs,) + tuple(pyr_shape), jnp.float32),
         R=jnp.tile(jnp.eye(3, dtype=jnp.float32), (n_kfs, 1, 1)),
         t=jnp.zeros((n_kfs, 3), jnp.float32),
         frame_id=jnp.full((n_kfs,), -1, jnp.int32),
@@ -142,9 +148,14 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
                          (n_kfs, 5, 1)),
         kp5_depth=jnp.ones((n_kfs, 5), jnp.float32),
         kp5_valid=jnp.zeros((n_kfs, 5), bool),
-        feat_tile=jnp.zeros((n_kfs, n_feats, TILE_R * TILE_R),
-                            jnp.float32),
-        feat_tile_xy0=jnp.full((n_kfs, n_feats, 2), -1, jnp.int32),
+        # tile tables pad the F axis to a multiple of 8 sublanes so the
+        # reprojector's (K, Fs, .) -> (K*Fs, .) row-flatten is a free
+        # bitcast — with Fs=620 it was a full layout-conversion copy of
+        # the pool (~0.2 ms/frame at the accurate preset's 91 MB pool)
+        feat_tile=jnp.zeros((n_kfs, -(-n_feats // 8) * 8,
+                             TILE_R * TILE_R), jnp.float32),
+        feat_tile_xy0=jnp.full((n_kfs, -(-n_feats // 8) * 8, 2), -1,
+                               jnp.int32),
     )
     pt = PointStore(
         pos=jnp.zeros((n_points, 3), jnp.float32),
@@ -190,6 +201,15 @@ def init_map(n_kfs: int, n_feats: int, n_points: int, n_obs: int,
 # ---------------------------------------------------------------------------
 # slot allocation helpers
 # ---------------------------------------------------------------------------
+
+def _padF(a: jnp.ndarray, Fs: int, fill) -> jnp.ndarray:
+    """Pad a per-feature table's leading axis up to the tile-table
+    capacity Fs (8-sublane multiple; see KeyframeStore)."""
+    if a.shape[0] == Fs:
+        return a
+    return jnp.concatenate(
+        [a, jnp.full((Fs - a.shape[0],) + a.shape[1:], fill, a.dtype)])
+
 
 def free_slots(active: jnp.ndarray, n: int) -> jnp.ndarray:
     """Indices of up to n free slots (-1 padded), static shape (n,)."""
@@ -339,7 +359,8 @@ def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
     # active): a plain DUS per field, no old-row gather + select
     sw = jnp.where(ok, slot, kf.active.shape[0] - 1)
     kf = kf._replace(
-        flat_pyr=kf.flat_pyr.at[sw].set(flat_pyr),
+        flat_pyr=kf.flat_pyr.at[sw].set(
+            flat_pyr.reshape(kf.flat_pyr.shape[1:])),
         R=kf.R.at[sw].set(T_f_w.R),
         t=kf.t.at[sw].set(T_f_w.t),
         frame_id=kf.frame_id.at[sw].set(frame_id),
@@ -354,8 +375,10 @@ def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
         kp5_dir=kf.kp5_dir.at[sw].set(kp_dir),
         kp5_depth=kf.kp5_depth.at[sw].set(kp_depth),
         kp5_valid=kf.kp5_valid.at[sw].set(kp_valid),
-        feat_tile=kf.feat_tile.at[sw].set(feat_tile),
-        feat_tile_xy0=kf.feat_tile_xy0.at[sw].set(feat_tile_xy0),
+        feat_tile=kf.feat_tile.at[sw].set(_padF(
+            feat_tile, kf.feat_tile.shape[1], 0)),
+        feat_tile_xy0=kf.feat_tile_xy0.at[sw].set(_padF(
+            feat_tile_xy0, kf.feat_tile_xy0.shape[1], -1)),
     )
     # the scratch row must stay inert regardless of what landed there
     kf = kf._replace(

@@ -150,7 +150,7 @@ class FrameHandler:
         from rpg_svo_tpu.ops.pallas_tiles import padded_layout
         Ws, Hs, _ = padded_layout(shapes)
         # keyframe pyramids are stored in the padded-stack layout
-        self.flat_len = Hs * Ws
+        self.pyr_shape = (Hs, Ws)
         self.ncx, self.ncy = grid_dims(img_shape[1], img_shape[0],
                                        cfg.grid_size)
         self.n_cells = self.ncx * self.ncy
@@ -167,7 +167,7 @@ class FrameHandler:
         self.map = svomap.init_map(
             n_kfs=cfg.max_kfs_pool, n_feats=self.n_cells,
             n_points=cfg.max_points, n_obs=cfg.max_obs_per_point,
-            n_seeds=cfg.max_seeds, flat_len=self.flat_len)
+            n_seeds=cfg.max_seeds, pyr_shape=self.pyr_shape)
         self.stage = STAGE_PAUSED
         self.quality = QUALITY_GOOD
         self.last_frame: Optional[FrameState] = None
@@ -186,7 +186,7 @@ class FrameHandler:
         self.map = svomap.init_map(
             n_kfs=self.cfg.max_kfs_pool, n_feats=self.n_cells,
             n_points=self.cfg.max_points, n_obs=self.cfg.max_obs_per_point,
-            n_seeds=self.cfg.max_seeds, flat_len=self.flat_len)
+            n_seeds=self.cfg.max_seeds, pyr_shape=self.pyr_shape)
         self.stage = STAGE_FIRST_FRAME
         self.last_frame = None
         self.num_obs_last = 0
@@ -223,7 +223,7 @@ class FrameHandler:
         # keyframe slot first (points need its slot id)
         tile, txy0 = extract_tiles(frame.flat, px, det["level"])
         m, slot = svomap.add_keyframe(
-            self.map, frame.pad.stack.reshape(-1), T_f_w, frame.frame_id,
+            self.map, frame.pad.stack, T_f_w, frame.frame_id,
             px, f, det["level"], jnp.full((self.n_cells,), -1, jnp.int32),
             good, d, feat_tile=tile, feat_tile_xy0=txy0)
         pt, ids = svomap.alloc_points(
@@ -313,7 +313,7 @@ class FrameHandler:
         # keyframe 0 (world origin) with the inlier features
         tile0, txy0_0 = extract_tiles(f0.flat, tv.px_ref, lvl0)
         m, slot0 = svomap.add_keyframe(
-            self.map, f0.pad.stack.reshape(-1), SE3.identity(), f0.frame_id,
+            self.map, f0.pad.stack, SE3.identity(), f0.frame_id,
             tv.px_ref, tv.f_ref, lvl0,
             jnp.full((C,), -1, jnp.int32), tv.inlier,
             jnp.linalg.norm(tv.p_w, axis=-1),
@@ -335,7 +335,7 @@ class FrameHandler:
         depth1 = jnp.linalg.norm(p_cur, axis=-1)
         tile1, txy0_1 = extract_tiles(frame.flat, tv.px_cur, lvl0)
         m, slot1 = svomap.add_keyframe(
-            self.map, frame.pad.stack.reshape(-1), tv.T_cur_ref, frame.frame_id,
+            self.map, frame.pad.stack, tv.T_cur_ref, frame.frame_id,
             tv.px_cur, tv.f_cur, lvl0, jnp.where(tv.inlier, ids, -1),
             tv.inlier, depth1, feat_tile=tile1, feat_tile_xy0=txy0_1)
         pt = svomap.add_point_observations(
@@ -523,7 +523,7 @@ class FrameHandler:
         padC = lambda a, fill: a if a.shape[0] == C else jnp.concatenate(
             [a, jnp.full((C - a.shape[0],) + a.shape[1:], fill, a.dtype)])
         m, slot = svomap.add_keyframe(
-            self.map, frame.pad.stack.reshape(-1), frame.T_f_w, frame.frame_id,
+            self.map, frame.pad.stack, frame.T_f_w, frame.frame_id,
             padC(frame.feat_px, 0), padC(frame.feat_f, 0),
             padC(frame.feat_level, 0),
             padC(frame.feat_point, -1), padC(frame.feat_valid, False),

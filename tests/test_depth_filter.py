@@ -16,7 +16,7 @@ from rpg_svo_tpu.utils.synthetic import SyntheticDataset
 
 def make_empty_map(flat_len, n_seeds=2048, n_points=4096):
     return init_map(n_kfs=8, n_feats=512, n_points=n_points, n_obs=8,
-                    n_seeds=n_seeds, flat_len=flat_len)
+                    n_seeds=n_seeds, pyr_shape=(1, flat_len))
 
 
 def test_seed_update_math_converges_inverse_depth():

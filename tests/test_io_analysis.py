@@ -241,7 +241,7 @@ def test_edgelet_overlay_and_markers(tmp_path):
     assert tracks[5, 5:16].min() == 255.0
 
     m = init_map(n_kfs=4, n_feats=8, n_points=16, n_obs=4, n_seeds=16,
-                 flat_len=64)
+                 pyr_shape=(1, 64))
     m = m._replace(kf=m.kf._replace(
         active=m.kf.active.at[0].set(True),
         frame_id=m.kf.frame_id.at[0].set(7)))

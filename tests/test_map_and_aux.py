@@ -145,7 +145,7 @@ def test_transform_map_consistency():
     from rpg_svo_tpu.core.map import transform_map
 
     m = svomap.init_map(n_kfs=4, n_feats=8, n_points=16, n_obs=4,
-                        n_seeds=8, flat_len=64)
+                        n_seeds=8, pyr_shape=(1, 64))
     rng = np.random.default_rng(0)
     # two keyframes with distinct poses, some points
     T0 = SE3.exp(jnp.asarray(rng.normal(size=6) * 0.2, dtype=jnp.float32))
