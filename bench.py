@@ -40,11 +40,15 @@ if os.environ.get("BENCH_PLATFORM"):      # smoke tests: BENCH_PLATFORM=cpu
 
 def make_cfg(preset: str):
     from rpg_svo_tpu.config import fast_preset, accurate_preset
-    # epi_max_steps=64: at this scene's depth range the strip scan covers
-    # every segment at <=64 samples per level bump; measured identical
-    # median translation error to 128 (tools_batch_r2b) at +10% fps
+    # epi_max_steps=32 / epi_short_steps=8: measured n_steps on this
+    # scene (tools in /tmp, 31835 eligible updates): p50=2, p90=5,
+    # longs avg 23 / p90 32, NONE past 48 — the long strip was ~2x
+    # oversized at 64 and the short tier 2x at 16.  Segments past 32
+    # bump the search level (0.3%% here), exactly the reference's
+    # coverage rule; median terr unchanged (2.38/1.95 mm).
     kw = dict(grid_size=int(os.environ.get("BENCH_GRID", "25")),
-              epi_max_steps=int(os.environ.get("BENCH_EPI", "64")),
+              epi_max_steps=int(os.environ.get("BENCH_EPI", "32")),
+              epi_short_steps=int(os.environ.get("BENCH_SHORT", "8")),
               # K=256: identical median terr to 512 (2.39 mm) at +6%
               # fps — the eligible-seed population fits; overflow seeds
               # defer to the next frame (two-tier budget semantics)
@@ -64,7 +68,7 @@ def make_cfg(preset: str):
             kw["max_obs_per_point"] = int(os.environ["BENCH_MAXOBS"])
         if os.environ.get("BENCH_LOBA"):
             kw["loba_num_iter"] = int(os.environ["BENCH_LOBA"])
-        return accurate_preset(epi_short_steps=16, epi_long_k=128, **kw)
+        return accurate_preset(epi_long_k=128, **kw)
     return fast_preset(**kw)
 
 

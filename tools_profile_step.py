@@ -34,11 +34,12 @@ assert n_frames >= 3 * CHUNK + 1, \
 ds = SyntheticDataset(n_frames=n_frames, trajectory="circle",
                       radius=0.25, revolutions=0.5)
 _kw = dict(grid_size=int(os.environ.get("BENCH_GRID", "25")),
-           epi_max_steps=int(os.environ.get("BENCH_EPI", "128")),
-           df_update_k=int(os.environ.get("BENCH_K", "512")))
+           epi_max_steps=int(os.environ.get("BENCH_EPI", "32")),
+           epi_short_steps=int(os.environ.get("BENCH_SHORT", "8")),
+           df_update_k=int(os.environ.get("BENCH_K", "256")))
 if PRESET == "accurate":
     # must mirror bench.py::make_cfg exactly to hit the same cached program
-    cfg = accurate_preset(epi_short_steps=16, epi_long_k=128, **_kw)
+    cfg = accurate_preset(epi_long_k=128, **_kw)
 else:
     cfg = fast_preset(**_kw)
 fh = FrameHandler(ds.cam, cfg)
