@@ -24,27 +24,37 @@ from rpg_svo_tpu.core.map import (
 )
 
 
-def _extract_observations(m: MapState):
-    """The point store's obs table + origin column as BAProblem arrays:
-    (obs_cam, obs_f, obs_level, obs_mask), each (P, M+1)."""
-    kf = m.kf
-    pt = m.pt
+def _extract_observations_rows(kf, obs_kf, obs_feat, obs_valid,
+                               orig_kf, orig_f, orig_level):
+    """Obs table rows + origin column as BAProblem arrays:
+    (obs_cam, obs_f, obs_level, obs_mask), each (rows, M+1).  Row-sliced
+    so local BA can compact its point set BEFORE the per-observation
+    keyframe feature lookups (the gathers scale with rows)."""
     K = kf.R.shape[0]
-    kfs = jnp.clip(pt.obs_kf, 0, K - 1)
-    fts = jnp.clip(pt.obs_feat, 0, kf.feat_f.shape[1] - 1)
+    kfs = jnp.clip(obs_kf, 0, K - 1)
+    fts = jnp.clip(obs_feat, 0, kf.feat_f.shape[1] - 1)
     obs_f = kf.feat_f[kfs, fts]
     obs_level = kf.feat_level[kfs, fts]
-    obs_mask = pt.obs_valid
-    okf = jnp.clip(pt.orig_kf, 0, K - 1)
+    obs_mask = obs_valid
+    okf = jnp.clip(orig_kf, 0, K - 1)
     obs_cam = jnp.concatenate([kfs, okf[:, None]], axis=1)
-    obs_f = jnp.concatenate([obs_f, pt.orig_f[:, None]], axis=1)
-    obs_level = jnp.concatenate([obs_level, pt.orig_level[:, None]],
+    obs_f = jnp.concatenate([obs_f, orig_f[:, None]], axis=1)
+    obs_level = jnp.concatenate([obs_level, orig_level[:, None]],
                                 axis=1)
     obs_mask = jnp.concatenate(
-        [obs_mask, (pt.orig_kf >= 0)[:, None]], axis=1)
+        [obs_mask, (orig_kf >= 0)[:, None]], axis=1)
     # only observations on active keyframes count
     obs_mask = obs_mask & kf.active[jnp.clip(obs_cam, 0, K - 1)]
     return obs_cam, obs_f, obs_level, obs_mask
+
+
+def _extract_observations(m: MapState):
+    """The point store's obs table + origin column as BAProblem arrays:
+    (obs_cam, obs_f, obs_level, obs_mask), each (P, M+1)."""
+    pt = m.pt
+    return _extract_observations_rows(
+        m.kf, pt.obs_kf, pt.obs_feat, pt.obs_valid,
+        pt.orig_kf, pt.orig_f, pt.orig_level)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "core_n_kfs",
@@ -81,15 +91,34 @@ def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
     oldest = jnp.argmin(age)
     variable = variable.at[oldest].set(variable[oldest] & has_fixed)
 
-    obs_cam, obs_f, obs_level, obs_mask = _extract_observations(m)
-
-    # points: active, with >= 2 obs, observed by at least one core KF
-    n_obs = jnp.sum(obs_mask, axis=1)
-    in_core = jnp.any(obs_mask & variable[jnp.clip(obs_cam, 0, K - 1)],
-                      axis=1)
+    # points: active, with >= 2 obs, observed by at least one core KF —
+    # computed from the raw obs table (no feature lookups yet)
+    kfs_full = jnp.clip(pt.obs_kf, 0, K - 1)
+    okf_full = jnp.clip(pt.orig_kf, 0, K - 1)
+    mask_full = jnp.concatenate(
+        [pt.obs_valid, (pt.orig_kf >= 0)[:, None]], axis=1)
+    cam_full = jnp.concatenate([kfs_full, okf_full[:, None]], axis=1)
+    mask_full = mask_full & kf.active[cam_full]
+    n_obs = jnp.sum(mask_full, axis=1)
+    in_core = jnp.any(mask_full & variable[cam_full], axis=1)
     p_valid = (pt.ptype != TYPE_DELETED) & (n_obs >= 2) & in_core
 
-    prob = BAProblem(kf.R, kf.t, variable, pt.pos, p_valid,
+    # COMPACT the point set to the core-observed rows before any dense
+    # per-observation work (the reference's localBA likewise only loads
+    # points seen by core keyframes, bundle_adjustment.cpp:156-170).
+    # The (core_n_kfs+1) variable cams hold <= (F+1) observations each,
+    # so 4096 slots cover every reachable point at accurate shapes; the
+    # dense GN pipeline and Schur assembly shrink P/Pc-fold (4x).
+    from rpg_svo_tpu.core.map import mask_compact
+    Pc = min(P, 4096)
+    sel, selok = mask_compact(p_valid, Pc)
+    obs_cam, obs_f, obs_level, obs_mask = _extract_observations_rows(
+        kf, pt.obs_kf[sel], pt.obs_feat[sel], pt.obs_valid[sel],
+        jnp.where(selok, pt.orig_kf[sel], -1), pt.orig_f[sel],
+        pt.orig_level[sel])
+    obs_mask = obs_mask & selok[:, None]
+
+    prob = BAProblem(kf.R, kf.t, variable, pt.pos[sel], selok,
                      obs_cam, obs_f, obs_level, obs_mask)
     if shard_axis:
         # mesh mode: shard the point blocks of the Schur solve (the P-dim
@@ -110,19 +139,27 @@ def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
                    reproj_thresh_unitplane=reproj_thresh_px / fx,
                    n_var_max=core_n_kfs + 1)
 
-    # --- write back ------------------------------------------------------
+    # --- write back (compacted rows -> pool rows) ------------------------
     kf = kf._replace(R=jnp.where(variable[:, None, None], res.R, kf.R),
                      t=jnp.where(variable[:, None], res.t, kf.t))
-    pos = jnp.where(p_valid[:, None], res.p_w, pt.pos)
+    # overflow-padded row scatters: invalid rows land in [P, P+128)
+    # (odd-length scatter buffers are in the TPU fault class, CLAUDE.md)
+    tgt = jnp.where(selok, sel, P)
+
+    def scat(pool, vals):
+        pad = jnp.zeros((128,) + pool.shape[1:], pool.dtype)
+        return jnp.concatenate([pool, pad], 0).at[tgt].set(vals)[:P]
+
+    pos = scat(pt.pos, res.p_w)
     # prune outlier observations (only the table part, not the origin col)
-    new_obs_valid = jnp.where(p_valid[:, None],
-                              pt.obs_valid & res.obs_inlier[:, :M],
-                              pt.obs_valid)
-    n_obs_after = jnp.sum(new_obs_valid, axis=1) \
-        + (pt.orig_kf >= 0).astype(jnp.int32)
-    starved = p_valid & (n_obs_after < 2) & (pt.ptype >= TYPE_UNKNOWN)
-    ptype = jnp.where(starved, TYPE_DELETED, pt.ptype)
-    pt = pt._replace(pos=pos, obs_valid=new_obs_valid, ptype=ptype)
+    ov_rows = pt.obs_valid[sel] & res.obs_inlier[:, :M]
+    obs_valid = scat(pt.obs_valid, ov_rows)
+    n_obs_after = jnp.sum(ov_rows, axis=1) \
+        + (pt.orig_kf[sel] >= 0).astype(jnp.int32)
+    starved = selok & (n_obs_after < 2) & (pt.ptype[sel] >= TYPE_UNKNOWN)
+    ptype = scat(pt.ptype, jnp.where(starved, TYPE_DELETED,
+                                     pt.ptype[sel]))
+    pt = pt._replace(pos=pos, obs_valid=obs_valid, ptype=ptype)
     return m._replace(kf=kf, pt=pt)
 
 
