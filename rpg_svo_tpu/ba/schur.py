@@ -223,13 +223,28 @@ def build_system(prob: BAProblem, R, t, p_w, huber_k, damping,
     # inserted ~0.9 ms/frame of pure relayout copies before the final
     # contraction.
     Y = _ein("pmv,pmac->vacp", E, Wc)                   # (Vn, 6, 3, P)
-    YV = _ein("vacp,pcd->vadp", Y, Vinv)                # (Vn, 6, 3, P)
+    # YV[v,a,d,p] = Σ_c Y[v,a,c,p]·Vinv[p,c,d] as a P-minor broadcast
+    # multiply-reduce on the VPU: the einsum form lowered to a per-p
+    # batched (…,3)x(3,3) dot — 0.25 ms/iter of strided traffic.
+    Vinv_t = jnp.transpose(Vinv, (1, 2, 0))             # (3, 3, P)
+    YV = jnp.sum(Y[:, :, :, None, :] * Vinv_t[None, None, :, :, :],
+                 axis=2)                                # (Vn, 6, 3, P)
     Vn = Y.shape[0]
     P3 = Y.shape[2] * Y.shape[3]
-    # (Vn·6, 3P) @ (3P, Vn·6) on the MXU — one big clean matmul
-    S_flat = jax.lax.dot(
-        YV.reshape(Vn * 6, P3), Y.reshape(Vn * 6, P3).T,
-        precision=jax.lax.Precision.HIGHEST)
+    # (Vn·6, 3P) @ (3P, Vn·6) — ZERO-PAD the 36-row axes to 128 so XLA
+    # lowers an honest MXU matmul: the 36-output-lane dot lowered to a
+    # VPU reduce fusion with strided reads (0.54 ms/iter measured; the
+    # padded form is ~20 µs and the extra rows are zeros).
+    def pad128(x):
+        tgt = -(-x.shape[0] // 128) * 128   # two-view/global: Vn·6 > 128
+        if tgt == x.shape[0]:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((tgt - x.shape[0], x.shape[1]), x.dtype)])
+    S128 = jax.lax.dot(pad128(YV.reshape(Vn * 6, P3)),
+                       pad128(Y.reshape(Vn * 6, P3)).T,
+                       precision=jax.lax.Precision.HIGHEST)
+    S_flat = S128[:Vn * 6, :Vn * 6]
     S_corr = S_flat.reshape(Vn, 6, Vn, 6).transpose(0, 2, 1, 3)
     rhs_corr = _ein("vacp,pc->va", YV, b_p)             # (Vn, 6)
     return U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, Y), chi2

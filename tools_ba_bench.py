@@ -15,7 +15,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from rpg_svo_tpu.ba.schur import BAProblem, solve_ba
 from rpg_svo_tpu.geometry.se3 import SE3
 
-P, M, K, VN = 16384, 17, 64, 6
+P = int(os.environ.get("BA_P", "4096"))
+M, K, VN = 17, 64, 6
 rng = np.random.default_rng(0)
 
 
@@ -55,9 +56,11 @@ if __name__ == "__main__":
     jax.block_until_ready(res.chi2_final)
     print(f"compile+first: {time.perf_counter() - t0:.1f}s  "
           f"chi2 {float(res.chi2_init):.3e} -> {float(res.chi2_final):.3e}")
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(prob).chi2_final)
-        ts.append(time.perf_counter() - t0)
-    print(f"solve_ba(n_iter=10): {min(ts)*1e3:.2f} ms")
+    # async-dispatch a batch and block ONCE: a blocking call pays the
+    # ~20 ms tunnel round trip, which would swamp the device time
+    n = 10
+    t0 = time.perf_counter()
+    outs = [fn(prob).chi2_final for _ in range(n)]
+    jax.block_until_ready(outs)
+    print(f"solve_ba(n_iter=10): {(time.perf_counter()-t0)/n*1e3:.2f} "
+          f"ms/solve (batch of {n}, one sync)")
