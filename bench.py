@@ -53,8 +53,9 @@ def make_cfg(preset: str):
               # fps — the eligible-seed population fits; overflow seeds
               # defer to the next frame (two-tier budget semantics)
               df_update_k=int(os.environ.get("BENCH_K", "256")))
-    if os.environ.get("BENCH_SCANROWS"):
-        kw["epi_scan_rows"] = int(os.environ["BENCH_SCANROWS"])
+    # scan_rows=4 for BOTH presets: bit-identical 400-frame accuracy
+    # to 8 rows (1.95 mm / same maxima) at +10% accurate fps
+    kw["epi_scan_rows"] = int(os.environ.get("BENCH_SCANROWS", "4"))
     if os.environ.get("BENCH_UNROLL"):
         kw["img_align_unroll"] = int(os.environ["BENCH_UNROLL"])
     if preset == "accurate":
