@@ -255,16 +255,28 @@ def apply_seed_update(m: MapState, upd: SeedFieldUpdate) -> MapState:
     converged beyond the cap stay alive and convert on a later frame.
     """
     seed = m.seed
-    order, conv_c = mask_compact(upd.converged, ALLOC_K)
-    pt, _ = alloc_points(
-        m.pt, upd.p_w[order], TYPE_CANDIDATE, seed.kf_slot[order],
-        seed.px[order], seed.f[order], seed.level[order], conv_c,
-        orig_type=seed.ftype[order], orig_grad=seed.grad[order],
-        orig_tile=seed.tile[order], orig_tile_xy0=seed.tile_xy0[order],
-        any_valid=jnp.any(conv_c))
     S = upd.converged.shape[0]
-    tgt = jnp.where(conv_c, order, S)   # invalid rows -> dropped slot
-    allocated = jnp.zeros((S + 1,), bool).at[tgt].set(conv_c)[:S]
+
+    # candidate allocation under a cond: the ~14 point-pool scatters and
+    # the ALLOC_K seed-row gathers cost ~0.17 ms/frame run masked every
+    # frame, while the cond-boundary copy of the point store is
+    # bandwidth-priced (~50 µs) and the no-conversion branch is the
+    # common steady-state case.
+    def do_alloc(_):
+        order, conv_c = mask_compact(upd.converged, ALLOC_K)
+        pt, _ = alloc_points(
+            m.pt, upd.p_w[order], TYPE_CANDIDATE, seed.kf_slot[order],
+            seed.px[order], seed.f[order], seed.level[order], conv_c,
+            orig_type=seed.ftype[order], orig_grad=seed.grad[order],
+            orig_tile=seed.tile[order],
+            orig_tile_xy0=seed.tile_xy0[order])
+        tgt = jnp.where(conv_c, order, S)   # invalid rows -> dropped
+        alloc = jnp.zeros((S + 128,), bool).at[tgt].set(conv_c)[:S]
+        return pt, alloc
+
+    pt, allocated = jax.lax.cond(
+        jnp.any(upd.converged), do_alloc,
+        lambda _: (m.pt, jnp.zeros((S,), bool)), None)
     active = upd.active | (upd.converged & ~allocated)
     seed = seed._replace(active=active, mu=upd.mu,
                          sigma2=upd.sigma2, a=upd.a, b=upd.b,
