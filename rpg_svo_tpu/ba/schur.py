@@ -222,7 +222,18 @@ def build_system(prob: BAProblem, R, t, p_w, huber_k, damping,
     # lane dim — XLA padded it to 128 lanes (≈150 MB per operand) and
     # inserted ~0.9 ms/frame of pure relayout copies before the final
     # contraction.
-    Y = _ein("pmv,pmac->vacp", E, Wc)                   # (Vn, 6, 3, P)
+    Vn_ = E.shape[-1]
+    if Vn_ <= 16:
+        # per-v unrolled multiply-reduce: the einsum form lowers to a
+        # per-point batched (M,Vn)x(M,18) dot plus layout copies
+        # (measured 8.6 -> 6.3 ms/solve, tools_ba_bench.py); Vn reads
+        # of Wc on the VPU beat it at local-BA sizes.  Two-view/global
+        # solves (Vn up to K) keep the einsum.
+        Ys = [jnp.sum(E[:, :, v, None, None] * Wc, axis=1)  # (P, 6, 3)
+              for v in range(Vn_)]
+        Y = jnp.stack([y.transpose(1, 2, 0) for y in Ys])   # (Vn,6,3,P)
+    else:
+        Y = _ein("pmv,pmac->vacp", E, Wc)               # (Vn, 6, 3, P)
     # YV[v,a,d,p] = Σ_c Y[v,a,c,p]·Vinv[p,c,d] as a P-minor broadcast
     # multiply-reduce on the VPU: the einsum form lowered to a per-p
     # batched (…,3)x(3,3) dot — 0.25 ms/iter of strided traffic.
