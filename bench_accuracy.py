@@ -38,15 +38,11 @@ def run_preset(name: str, n_frames: int, chunk: int):
 
     ds = SyntheticDataset(n_frames=n_frames, trajectory="circle",
                           radius=0.25, revolutions=0.5)
-    if name == "fast":
-        # mirror bench.py's fast config (incl. the two-tier scan knobs
-        # the preset carries) so the accuracy artifact measures the same
-        # program the throughput metric reports
-        cfg = fast_preset(grid_size=25, epi_max_steps=64, df_update_k=256)
-    else:
-        cfg = accurate_preset(grid_size=25, epi_max_steps=64,
-                              df_update_k=256, loba_num_iter=10,
-                              epi_short_steps=16, epi_long_k=128)
+    # mirror bench.py's configs EXACTLY (shared make_cfg) so the
+    # accuracy artifact measures the same cached programs the
+    # throughput metric reports
+    from bench import make_cfg
+    cfg = make_cfg(name)
     fh = FrameHandler(ds.cam, cfg)
     imgs = []
     for i in range(n_frames):
