@@ -91,8 +91,9 @@ def obs_cam_onehot(obs_cam, K: int):
     solve (the index table is iteration-invariant) and contracted on the
     MXU wherever per-observation camera rows are needed: R[cam]-style
     scattered gathers over the P*M observation rows cost ~10 ns/element
-    (~8 ms per BA iteration at the accurate preset).  bfloat16: one-hot
-    rows are bf16-exact and the buffer is read every _cam_rows call."""
+    (~8 ms per BA iteration at the accurate preset).  float32: the
+    contractions that read it feed geometry and run at
+    Precision.HIGHEST (see _cam_rows)."""
     cam = jnp.clip(obs_cam, 0, K - 1)
     return jax.nn.one_hot(cam, K, dtype=jnp.float32), cam
 
@@ -102,9 +103,9 @@ def _cam_rows(E, R, t):
 
     ONE (P,M,K)·(K,12) contraction instead of per-entry einsums: the
     "pmk,kij->pmij" form re-read the one-hot buffer once per output
-    entry (9x ≈ 320 MB/call at accurate shapes).  EXACT to f32: E is
-    0/1 in bf16 and the R|t table goes through a hi/lo bf16 split, so
-    every product is exact and the MXU accumulates in f32."""
+    entry (9x ≈ 320 MB/call at accurate shapes).  Runs as a single f32
+    dot_general at Precision.HIGHEST — see the inline note below for
+    why the cheaper bf16 hi/lo-split scheme was rejected."""
     K = R.shape[0]
     Rt9 = jnp.concatenate([R.reshape(K, 9), t], axis=1)   # (K, 12)
     # f32 HIGHEST: bf16 hi/lo splits (2- and 3-term) are selection-exact
@@ -202,9 +203,10 @@ def build_system(prob: BAProblem, R, t, p_w, huber_k, damping,
     """One GN iteration's blocks over the compacted variable cameras.
 
     Returns (U (Vn,6,6), b_c (Vn,6), S_corr (Vn,Vn,6,6), rhs_corr
-    (Vn,6), aux=(Wc, Vinv, b_p, Y), chi2).  Shared by the
-    single-device solver and the point-sharded distributed one (the
-    four leading outputs are what the mesh psums)."""
+    (Vn,6), aux=(Vinv, b_p, Y), chi2).  Shared by the single-device
+    solver and the point-sharded distributed one (the four leading
+    outputs are what the mesh psums; aux is what point_backsub needs
+    locally per shard)."""
     K = R.shape[0]
     if E is None:
         E, _ = obs_cam_onehot(prob.obs_cam, K)
@@ -272,7 +274,7 @@ def build_system(prob: BAProblem, R, t, p_w, huber_k, damping,
     S_flat = S128[:Vn * 6, :Vn * 6]
     S_corr = S_flat.reshape(Vn, 6, Vn, 6).transpose(0, 2, 1, 3)
     rhs_corr = _ein("vacp,pc->va", YV, b_p)             # (Vn, 6)
-    return U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, Y), chi2
+    return U, b_c, S_corr, rhs_corr, (Vinv, b_p, Y), chi2
 
 
 def assemble_solve(U, b_c, S_corr, rhs_corr, vok, damping):
@@ -297,7 +299,7 @@ def expand_dx(dx_v, vsel, vok, K: int):
     return jnp.zeros((K + 128, 6), dx_v.dtype).at[tgt].set(dx_v)[:K]
 
 
-def point_backsub(Wc, Vinv, b_p, Y, dx_v, p_valid):
+def point_backsub(Vinv, b_p, Y, dx_v, p_valid):
     """dx_p = V⁻¹ (b_p − Wᵀ dx_c[cam]) — local to each point (shard).
 
     Uses the aggregated coupling tensor Y (Vn, 6, 3, P) from
@@ -319,11 +321,11 @@ def _gn_step(prob: BAProblem, R, t, p_w, huber_k, damping,
              vsel, vok, inv_map, n_var: int, E=None, Ev=None):
     """One Schur GN step. Returns (R', t', p_w', chi2)."""
     K = R.shape[0]
-    U, b_c, S_corr, rhs_corr, (Wc, Vinv, b_p, Y), chi2 = build_system(
+    U, b_c, S_corr, rhs_corr, (Vinv, b_p, Y), chi2 = build_system(
         prob, R, t, p_w, huber_k, damping, inv_map, n_var, E=E, Ev=Ev)
     dx_v = assemble_solve(U, b_c, S_corr, rhs_corr, vok, damping)
     dx_c = expand_dx(dx_v, vsel, vok, K)
-    dx_p = point_backsub(Wc, Vinv, b_p, Y, dx_v, prob.p_valid)
+    dx_p = point_backsub(Vinv, b_p, Y, dx_v, prob.p_valid)
     T_new = SE3.exp(dx_c) * SE3(R, t)
     return T_new.R, T_new.t, p_w + dx_p, chi2
 

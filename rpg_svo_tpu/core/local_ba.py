@@ -58,11 +58,13 @@ def _extract_observations(m: MapState):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "core_n_kfs",
-                                             "shard_axis"))
+                                             "shard_axis",
+                                             "max_core_points"))
 def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
                  huber_width_px: jnp.ndarray, reproj_thresh_px: jnp.ndarray,
                  fx: jnp.ndarray, n_iter: int = 10,
-                 core_n_kfs: int = 3, shard_axis: str = "") -> MapState:
+                 core_n_kfs: int = 3, shard_axis: str = "",
+                 max_core_points: int = 4096) -> MapState:
     """Run local BA around `new_kf_slot`; returns the updated map."""
     kf = m.kf
     pt = m.pt
@@ -106,12 +108,23 @@ def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
     # COMPACT the point set to the core-observed rows before any dense
     # per-observation work (the reference's localBA likewise only loads
     # points seen by core keyframes, bundle_adjustment.cpp:156-170).
-    # The (core_n_kfs+1) variable cams hold <= (F+1) observations each,
-    # so 4096 slots cover every reachable point at accurate shapes; the
-    # dense GN pipeline and Schur assembly shrink P/Pc-fold (4x).
-    from rpg_svo_tpu.core.map import mask_compact
-    Pc = min(P, 4096)
-    sel, selok = mask_compact(p_valid, Pc)
+    # Cap rationale: steady-state keyframes carry at most F (per-frame
+    # budget, <=256) valid features each, so the reachable core set is
+    # ~(core_n_kfs+1)*F plus the two detector-dense bootstrap keyframes
+    # (<=C cells each) plus origin-only rows (<=max_seeds_per_kf per core
+    # KF) — measured populations sit at 1.5-3k across presets, well under
+    # 4096.  The PROVABLE worst case ((core_n_kfs+1)*(C+seed_cap), ~5.2k
+    # at accurate shapes) is only approachable if every core KF is
+    # detector-dense, which only bootstrap frames are; paying for those
+    # phantom rows every solve costs real ms.  Instead of truncating
+    # arbitrarily on overflow, compaction is PRIORITIZED by observation
+    # count: if the population ever exceeds the cap, the least-constrained
+    # points are the ones left out of this solve (they keep their
+    # positions and get optimized by structure-opt / later solves), never
+    # a silent bias against well-tracked geometry.
+    from rpg_svo_tpu.core.map import mask_compact_priority
+    Pc = min(P, max_core_points)
+    sel, selok = mask_compact_priority(p_valid, Pc, n_obs)
     obs_cam, obs_f, obs_level, obs_mask = _extract_observations_rows(
         kf, pt.obs_kf[sel], pt.obs_feat[sel], pt.obs_valid[sel],
         jnp.where(selok, pt.orig_kf[sel], -1), pt.orig_f[sel],

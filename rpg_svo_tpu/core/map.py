@@ -240,6 +240,25 @@ def mask_compact(mask: jnp.ndarray, k: int):
     return jnp.where(valid, idx, 0), valid
 
 
+def mask_compact_priority(mask: jnp.ndarray, k: int,
+                          priority: jnp.ndarray):
+    """Top-k set indices of a bool mask, highest `priority` first.
+
+    Like mask_compact, but when popcount(mask) > k the DROPPED rows are
+    the lowest-priority ones instead of whatever happened to sit past the
+    first k pool slots (local BA compacts by observation count so an
+    overflow sheds the least-constrained points).  Costs one top_k
+    (O(N log N) on TPU) — fine for once-per-keyframe callers; use
+    mask_compact on per-frame paths.
+
+    Returns (idx (k,) int32, valid (k,) bool); invalid slots hold 0.
+    """
+    key = jnp.where(mask, priority.astype(jnp.float32), -jnp.inf)
+    val, idx = jax.lax.top_k(key, k)
+    valid = jnp.isfinite(val)
+    return jnp.where(valid, idx, 0).astype(jnp.int32), valid
+
+
 def alloc_scatter(arr: jnp.ndarray, slots: jnp.ndarray,
                   values: jnp.ndarray) -> jnp.ndarray:
     """Scatter values into arr at slots; slots == -1 land in the pool's

@@ -77,10 +77,13 @@ def pyramid_shapes(shape: Tuple[int, int], n_levels: int) -> Sequence[Tuple[int,
 
 def _mm_exact(A_np, x, right: bool = False):
     """A @ x (or x @ A) where A is a constant 0/0.5 matrix: two bf16 MXU
-    passes with a hi/lo split of x.  EXACT to ~f32: A's entries are
-    bf16-representable, each product 0.5*hi / 0.5*lo is exact, and the
-    MXU accumulates in f32 — so this equals the f32 matmul at 2 passes
-    instead of Precision.HIGHEST's 6."""
+    passes with a hi/lo split of x.  A's entries are bf16-representable
+    and each product 0.5*hi / 0.5*lo is exact, with f32 accumulation, so
+    the scheme is exact up to the hi/lo rounding of x — measured ~1e-5
+    agreement with the f32 reshape-mean on real images (pixel values in
+    [0, 255]), at 2 MXU passes instead of Precision.HIGHEST's 6.  (NOT
+    claimed bit-exact: bf16 splits through the real MXU have measurably
+    diverged from CPU emulation elsewhere in this repo — ba/schur.py.)"""
     import numpy as np
     A = jnp.asarray(np.asarray(A_np, np.float32), jnp.bfloat16)
     hi = x.astype(jnp.bfloat16)
@@ -92,7 +95,8 @@ def _mm_exact(A_np, x, right: bool = False):
     return d(A, hi) + d(A, lo)
 
 
-def build_padded_pyramid(img: jnp.ndarray, n_levels: int):
+def build_padded_pyramid(img: jnp.ndarray, n_levels: int,
+                         force_matmul: bool = False):
     """Build the PaddedPyramid stack directly: each level is produced IN
     the padded (Hp, Ws) layout by pair-averaging matmuls
     ``Ah @ prev @ Aw`` on the MXU.
@@ -103,14 +107,17 @@ def build_padded_pyramid(img: jnp.ndarray, n_levels: int):
     matrices land on the MXU with no awkward layouts and write every
     level straight into its padded extent (zero rows/cols outside the
     true (h, w)).  CPU keeps the reshape-mean path (bf16 matmuls are
-    emulated there and the values agree to ~1e-5 anyway).
+    emulated there and the values agree to ~1e-5 anyway);
+    `force_matmul=True` runs the matmul construction regardless of
+    backend so the production path has CPU parity coverage
+    (tests/test_image_ops.py).
     """
     import numpy as np
     from rpg_svo_tpu.ops.pallas_tiles import PaddedPyramid, padded_layout
 
     shapes = pyramid_shapes((int(img.shape[0]), int(img.shape[1])),
                             n_levels)
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not force_matmul:
         return PaddedPyramid(build_pyramid(img, n_levels))
     Ws, Hs, _offs = padded_layout(shapes)
     Hp = [-(-h // 8) * 8 for h, _ in shapes]

@@ -63,8 +63,8 @@ def distributed_ba_solve(mesh: Mesh, prob: BAProblem, n_iter: int = 10,
             rhs_corr = jax.lax.psum(rhs_corr, axis)
             dx_v = assemble_solve(U, b_c, S_corr, rhs_corr, vok, damping)
             dx_c = expand_dx(dx_v, vsel, vok, K)
-            Wc, Vinv, b_p, Y = aux
-            dx_p = point_backsub(Wc, Vinv, b_p, Y, dx_v, p_valid)
+            Vinv, b_p, Y = aux
+            dx_p = point_backsub(Vinv, b_p, Y, dx_v, p_valid)
             T_new = SE3.exp(dx_c) * SE3(R, t)
             p_new = p + dx_p
             # chi2 rollback (global reduction)

@@ -82,3 +82,31 @@ def multistream_step(mesh: Mesh, states, imgs: jnp.ndarray, cam,
                    in_specs=(spec_state, spec_img),
                    out_specs=spec_out, check_vma=False)
     return fn(states, imgs)
+
+
+def multistream_scan(mesh: Mesh, states, imgs: jnp.ndarray, cam,
+                     cfg: Config, ncx: int, ncy: int,
+                     img_shape: Tuple[int, int], axis: str = "dp"):
+    """vo_scan for one stream per device along `axis`: each device tracks
+    its own whole image stack in one program, with NO collective between
+    streams (the steady-state multi-host claim of parallel/multihost.py:
+    dp streams host-local => zero DCN traffic; tests/_multihost_track_
+    worker.py asserts it from the compiled HLO).
+
+    states: VOState with leading axis == mesh.shape[axis]; imgs
+    (B, T, H, W).  Returns (states', StepOut stacked (B, T, ...))."""
+    def local(state, img):
+        s1 = jax.tree.map(lambda x: x[0], state)
+        s2, outs = fused.vo_scan(s1, img[0], cam, cfg, ncx, ncy,
+                                 img_shape)
+        return (jax.tree.map(lambda x: x[None], s2),
+                jax.tree.map(lambda x: x[None], outs))
+
+    spec_state = jax.tree.map(lambda _: P(axis), states)
+    spec_out = (spec_state,
+                jax.tree.map(lambda _: P(axis), fused.StepOut(
+                    *[0] * len(fused.StepOut._fields))))
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(spec_state, P(axis)),
+                   out_specs=spec_out, check_vma=False)
+    return fn(states, imgs)

@@ -24,6 +24,33 @@ def test_pyramid_shapes():
         (480, 752), (240, 376), (120, 188), (60, 94), (30, 47)]
 
 
+def test_padded_pyramid_matmul_parity():
+    """The TPU matmul construction of build_padded_pyramid (pair-average
+    0/0.5 matrices, bf16 hi/lo split) must agree with the reshape-mean
+    reference on every level — exercised on CPU via force_matmul so the
+    production halfsample path has coverage outside the TPU bench."""
+    from rpg_svo_tpu.ops.pyramid import build_padded_pyramid
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, size=(480, 752)), jnp.float32)
+    ref = build_pyramid(img, 5)
+    pad = build_padded_pyramid(img, 5, force_matmul=True)
+    levels = pad.levels()
+    assert len(levels) == 5
+    for lv, (r, m) in enumerate(zip(ref, levels)):
+        assert r.shape == m.shape
+        # bf16 hi/lo split: exact up to the split rounding of the
+        # operand — ~1e-5 relative on [0, 255] pixels (see _mm_exact)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(r),
+                                   atol=5e-3, rtol=1e-5,
+                                   err_msg=f"level {lv}")
+    # padded extents outside the true (h, w) must be zero (tile loads
+    # read through them)
+    stack = np.asarray(pad.stack)
+    lvl0 = np.asarray(levels[0])
+    assert stack.shape[1] >= 752 and np.all(
+        stack[:480, 752:] == 0.0) and np.allclose(stack[:480, :752], lvl0)
+
+
 def test_bilinear_exact_on_grid():
     img = jnp.arange(24.0).reshape(4, 6)
     xy = jnp.array([[2.0, 1.0], [0.0, 0.0], [4.0, 2.0]])

@@ -23,9 +23,8 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_cpu_distributed_ba():
-    worker = os.path.join(os.path.dirname(__file__),
-                          "_multihost_worker.py")
+def _run_workers(worker_name: str, ok_token: str, timeout: float = 540):
+    worker = os.path.join(os.path.dirname(__file__), worker_name)
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)   # worker sets its own device count
@@ -36,7 +35,7 @@ def test_two_process_cpu_distributed_ba():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -47,4 +46,21 @@ def test_two_process_cpu_distributed_ba():
         pytest.skip(f"multi-process CPU runtime unavailable: {joined[-500:]}")
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} rc={p.returncode}\n{joined}"
-        assert "MULTIHOST_OK" in out, f"worker {pid}:\n{joined}"
+        assert ok_token in out, f"worker {pid}:\n{joined}"
+    return outs
+
+
+def test_two_process_cpu_distributed_ba():
+    _run_workers("_multihost_worker.py", "MULTIHOST_OK")
+
+
+def test_two_process_fused_tracking_dp_dcn_silent():
+    """Fused vo_scan with the dp stream axis spanning 2 processes:
+    per-stream parity with single-process runs, plus the DCN-silence
+    proof — no collective in the compiled tracking program crosses the
+    process boundary (VERDICT r4 item 2; parallel/multihost.py design
+    claim)."""
+    outs = _run_workers("_multihost_track_worker.py",
+                        "MULTIHOST_TRACK_OK", timeout=540)
+    for out in outs:
+        assert "cross_process=0" in out, out

@@ -13,7 +13,6 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from rpg_svo_tpu.ba.schur import BAProblem, solve_ba
-from rpg_svo_tpu.geometry.se3 import SE3
 
 P = int(os.environ.get("BA_P", "4096"))
 M, K, VN = 17, 64, 6
@@ -29,10 +28,6 @@ def make_problem():
     obs_mask = rng.random(size=(P, M)) < 0.4
     p_valid = rng.random(size=(P,)) < 0.6
     # perfect bearings + noise
-    Ts = SE3(jnp.asarray(R), jnp.asarray(t))
-    pc = np.asarray(Ts.apply(jnp.asarray(p_w)[:, None, :]))  # broadcasting?
-    obs_f = pc[np.arange(P)[:, None], obs_cam] if pc.ndim == 3 else None
-    # simpler: compute per-obs cam point
     pcam = np.einsum("kij,pj->pki", R, p_w) + t[None]
     sel = pcam[np.arange(P)[:, None], obs_cam]       # (P, M, 3)
     f = sel / np.linalg.norm(sel, axis=-1, keepdims=True)
