@@ -58,6 +58,8 @@ def make_cfg(preset: str):
     kw["epi_scan_rows"] = int(os.environ.get("BENCH_SCANROWS", "4"))
     if os.environ.get("BENCH_UNROLL"):
         kw["img_align_unroll"] = int(os.environ["BENCH_UNROLL"])
+    if os.environ.get("BENCH_DFEVERY"):     # seed-update cadence sweep
+        kw["df_update_every"] = int(os.environ["BENCH_DFEVERY"])
     if preset == "accurate":
         # full preset defaults (max_points=16384, max_obs=16): the Schur
         # cross-blocks are assembled via one-hot camera couplings

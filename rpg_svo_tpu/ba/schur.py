@@ -350,9 +350,26 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
     chi2_init = _chi2(prob, prob.R, prob.t, prob.p_w,
                       jnp.float32(huber_width), E)
 
-    def make_body(pb):
-        def body(_, carry):
-            R, t, p, best, damping = carry
+    def run_phase(pb, n: int, R, t, p, chi2_0):
+        """Up to n GN steps with chi2-plateau early exit.
+
+        Each iteration of the reduced-system build + solve costs ~0.55 ms
+        device time at accurate shapes, and the solve typically plateaus
+        well before the reference's fixed 10-iteration budget
+        (bundle_adjustment.cpp:248 runs a fixed count too — the early
+        exit is the adaptive-iteration ask of VERDICT r4 #1a).  Exit
+        when 2 consecutive iterations each improved best chi2 by less
+        than 0.01% (a rolled-back LM step counts as a stall, but the
+        8x damping bump gets one retry before giving up)."""
+        if n <= 0:
+            return R, t, p, chi2_0
+
+        def cond(carry):
+            i, _, _, _, _, _, stall = carry
+            return (i < n) & (stall < 2)
+
+        def body(carry):
+            i, R, t, p, best, damping, stall = carry
             Rn, tn, pn, chi2 = _gn_step(pb, R, t, p,
                                         jnp.float32(huber_width), damping,
                                         vsel, vok, inv_map, n_var, E=E,
@@ -362,19 +379,26 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
             chi2_new = _chi2(pb, Rn, tn, pn, jnp.float32(huber_width),
                              E)
             improve = (chi2_new < best) & (~bad)
+            progress = improve & (best - chi2_new
+                                  > 1e-4 * jnp.maximum(best, 1e-30))
             R = jnp.where(improve, Rn, R)
             t = jnp.where(improve, tn, t)
             p = jnp.where(improve, pn, p)
             best = jnp.where(improve, chi2_new, best)
             damping = jnp.where(improve, damping * 0.5, damping * 8.0)
-            return R, t, p, best, jnp.clip(damping, 1e-8, 1e2)
-        return body
+            stall = jnp.where(progress, 0, stall + 1)
+            return (i + 1, R, t, p, best,
+                    jnp.clip(damping, 1e-8, 1e2), stall)
+
+        _, R, t, p, best, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), R, t, p, chi2_0,
+                         jnp.float32(1e-4), jnp.int32(0)))
+        return R, t, p, best
 
     # phase 1: robust GN on all observations
     n1 = max(n_iter // 2, 1)
-    R, t, p, chi2_mid, _ = jax.lax.fori_loop(
-        0, n1, make_body(prob),
-        (prob.R, prob.t, prob.p_w, chi2_init, jnp.float32(1e-4)))
+    R, t, p, chi2_mid = run_phase(prob, n1, prob.R, prob.t, prob.p_w,
+                                  chi2_init)
 
     # prune outlier edges (reference: remove edges with chi2 > thresh
     # mid-way, bundle_adjustment.cpp:96-116) and re-solve on inliers
@@ -384,9 +408,7 @@ def solve_ba(prob: BAProblem, n_iter: int = 10,
                             < 3.0 * reproj_thresh_unitplane)
     prob2 = prob._replace(obs_mask=keep)
     chi2_1 = _chi2(prob2, R, t, p, jnp.float32(huber_width), E)
-    R, t, p, chi2_final, _ = jax.lax.fori_loop(
-        0, n_iter - n1, make_body(prob2),
-        (R, t, p, chi2_1, jnp.float32(1e-4)))
+    R, t, p, chi2_final = run_phase(prob2, n_iter - n1, R, t, p, chi2_1)
 
     # final outlier pruning on unit-plane residual norm
     p_cam = _apply_cams(R, t, E, p)

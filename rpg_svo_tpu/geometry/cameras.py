@@ -183,6 +183,134 @@ class ATANCamera(NamedTuple):
         return self.fx
 
 
+class OmniCamera(NamedTuple):
+    """Omnidirectional (Scaramuzza Ocam) camera, vikit's omni_camera.
+
+    Closes the reference camera abstraction's third option — "ATAN,
+    Pinhole or Ocam" (svo/include/svo/frame_handler_mono.h:64; model in
+    external vikit).  Calibration follows the ocam toolbox convention:
+
+    - ``poly`` (a0..a4): cam2world polynomial — the mirror-axis
+      coordinate of the back-projected ray is z_m = a0 + a2·rho² + ...
+      at image radius rho (a1 = 0 in ocam calibrations; a0 < 0, i.e.
+      z_m points INTO the mirror).  The framework bearing flips it so
+      forward points have z > 0.
+    - ``inv_poly`` (b0..b[K-1]): world2cam polynomial rho(theta) with
+      theta = atan(z_m / rho_xy) (ocam angle convention).
+    - affine stretch [[c, d], [e, 1]] and center (xc, yc) map sensor
+      coords to pixels.  (The ocam toolbox stores (row, col); here xc
+      is the x/column center, yc the y/row center — load_ocam_calib
+      does the swap.)
+
+    Fixed-length coefficient arrays keep the struct a uniform pytree;
+    pad unused high-order coefficients with zeros.
+    """
+    poly: jnp.ndarray       # (5,)
+    inv_poly: jnp.ndarray   # (INV_POLY_LEN,)
+    xc: jnp.ndarray
+    yc: jnp.ndarray
+    c: jnp.ndarray
+    d: jnp.ndarray
+    e: jnp.ndarray
+    width: jnp.ndarray
+    height: jnp.ndarray
+
+    INV_POLY_LEN = 14       # class attr (not a field): max ocam order
+
+    @staticmethod
+    def make(width, height, poly, inv_poly, xc, yc,
+             c=1.0, d=0.0, e=0.0) -> "OmniCamera":
+        f = lambda v: jnp.asarray(v, dtype=jnp.float32)
+        p = jnp.zeros((5,), jnp.float32).at[:len(poly)].set(
+            jnp.asarray(poly, jnp.float32))
+        ip = jnp.zeros((OmniCamera.INV_POLY_LEN,), jnp.float32)
+        ip = ip.at[:len(inv_poly)].set(jnp.asarray(inv_poly, jnp.float32))
+        return OmniCamera(p, ip, f(xc), f(yc), f(c), f(d), f(e),
+                          f(width), f(height))
+
+    def _polyval(self, coeffs, x):
+        """Horner over the fixed-length coeff array (unrolled, static)."""
+        n = coeffs.shape[0]
+        acc = jnp.broadcast_to(coeffs[n - 1], x.shape)
+        for k in range(n - 2, -1, -1):
+            acc = acc * x + coeffs[k]
+        return acc
+
+    def world2cam(self, xyz: jnp.ndarray) -> jnp.ndarray:
+        """Camera-frame 3D (..., 3), z > 0 forward -> pixel (..., 2)."""
+        x, y = xyz[..., 0], xyz[..., 1]
+        z_m = -xyz[..., 2]                      # mirror-axis convention
+        rho_xy = jnp.sqrt(x * x + y * y)
+        safe = jnp.maximum(rho_xy, 1e-10)
+        theta = jnp.arctan2(z_m, safe)
+        rho = self._polyval(self.inv_poly, theta)
+        u = x / safe * rho
+        v = y / safe * rho
+        return jnp.stack([self.c * u + self.d * v + self.xc,
+                          self.e * u + v + self.yc], axis=-1)
+
+    def cam2world(self, px: jnp.ndarray) -> jnp.ndarray:
+        """Pixel (..., 2) -> unit bearing (..., 3), z > 0 forward."""
+        du = px[..., 0] - self.xc
+        dv = px[..., 1] - self.yc
+        det = self.c - self.d * self.e
+        det = jnp.where(jnp.abs(det) < 1e-10, 1e-10, det)
+        u = (du - self.d * dv) / det
+        v = (-self.e * du + self.c * dv) / det
+        rho = jnp.sqrt(u * u + v * v)
+        z_m = self._polyval(self.poly, rho)
+        f = jnp.stack([u, v, -z_m], axis=-1)    # flip to z-forward
+        return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+
+    def project_unitplane(self, uv: jnp.ndarray) -> jnp.ndarray:
+        xyz = jnp.concatenate([uv, jnp.ones_like(uv[..., :1])], axis=-1)
+        return self.world2cam(xyz)
+
+    def is_in_frame(self, px: jnp.ndarray, boundary: float = 0.0,
+                    level: int = 0) -> jnp.ndarray:
+        scale = jnp.float32(2.0 ** level)
+        w = self.width / scale
+        h = self.height / scale
+        u, v = px[..., 0], px[..., 1]
+        return ((u >= boundary) & (u < w - boundary) &
+                (v >= boundary) & (v < h - boundary))
+
+    @property
+    def fx(self) -> jnp.ndarray:
+        """Focal-length equivalent: d(rho)/d(theta) at the image center
+        (first-order inv_poly coefficient) — what the pipeline's px <->
+        unit-plane threshold conversions use (vikit errorMultiplier)."""
+        return jnp.abs(self.inv_poly[1])
+
+    @property
+    def error_multiplier2(self) -> jnp.ndarray:
+        return self.fx
+
+
+def load_ocam_calib(path: str) -> "OmniCamera":
+    """Parse a Scaramuzza ocam-toolbox `calib_results.txt`.
+
+    Sections (in file order): cam2world poly (count + coeffs), world2cam
+    inv poly, center (ROW then COLUMN — swapped into (xc, yc) = (col,
+    row) here), affine c/d/e, image size (height, width)."""
+    import re
+    nums = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            nums.append([float(t) for t in re.findall(
+                r"[-+0-9.eE]+", line) if t not in ("e", "E", ".")])
+    rows = [r for r in nums if r]
+    poly = rows[0][1:]            # first value = coefficient count
+    inv_poly = rows[1][1:]
+    yc, xc = rows[2][0], rows[2][1]   # ocam stores (row, col)
+    c, d, e = rows[3][:3]
+    height, width = int(rows[4][0]), int(rows[4][1])
+    return OmniCamera.make(width, height, poly, inv_poly, xc, yc, c, d, e)
+
+
 def project2d(xyz: jnp.ndarray) -> jnp.ndarray:
     """3D -> unit-plane 2D (ref: vk::project2d)."""
     z = xyz[..., 2]

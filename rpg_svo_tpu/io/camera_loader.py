@@ -28,10 +28,33 @@ def _parse_flat_yaml(path: str) -> Dict[str, str]:
 
 
 def load_camera_yaml(path: str):
-    """Build a PinholeCamera or ATANCamera from a cam_* YAML file."""
-    from rpg_svo_tpu.geometry.cameras import PinholeCamera, ATANCamera
+    """Build a Pinhole/ATAN/Omni camera from a cam_* YAML file.
+
+    `cam_model: Ocam` dispatches to the omnidirectional model (the
+    reference's third camera option, frame_handler_mono.h:64): either
+    `cam_calib_file: <path>` (a Scaramuzza ocam-toolbox
+    calib_results.txt, resolved relative to the YAML) or flat
+    `cam_poly` / `cam_inv_poly` / `cam_xc` / `cam_yc` / `cam_c/d/e`
+    keys."""
+    import os
+    from rpg_svo_tpu.geometry.cameras import (
+        PinholeCamera, ATANCamera, OmniCamera, load_ocam_calib,
+    )
     kv = _parse_flat_yaml(path)
     model = kv.get("cam_model", "Pinhole").lower()
+    if model == "ocam":
+        if "cam_calib_file" in kv:
+            calib = kv["cam_calib_file"]
+            if not os.path.isabs(calib):
+                calib = os.path.join(os.path.dirname(path), calib)
+            return load_ocam_calib(calib)
+        poly = [float(t) for t in kv["cam_poly"].split()]
+        inv_poly = [float(t) for t in kv["cam_inv_poly"].split()]
+        return OmniCamera.make(
+            int(float(kv["cam_width"])), int(float(kv["cam_height"])),
+            poly, inv_poly, float(kv["cam_xc"]), float(kv["cam_yc"]),
+            float(kv.get("cam_c", 1.0)), float(kv.get("cam_d", 0.0)),
+            float(kv.get("cam_e", 0.0)))
     w = int(float(kv["cam_width"]))
     h = int(float(kv["cam_height"]))
     fx = float(kv["cam_fx"])

@@ -145,6 +145,9 @@ def warp_affine_patches_tiles(A_level0: jnp.ndarray, tiles: jnp.ndarray,
     pc = grid[None] * scale_cur[:, None, None]
     po = jnp.sum(Ainv[:, None, :, :] * pc[:, :, None, :], axis=-1)
     coords = (px_ref[:, None, :] + po) / scale_ref[:, None, None]
+    # (bicubic here was tried and measured WORSE — the affine warp's
+    # anisotropic resampling makes Catmull-Rom overshoot; the cur-side
+    # align window is where bicubic pays, ops/feature_align.BICUBIC)
     vals, ok = sample_tiles(tiles, xy0, coords)
     return vals, jnp.all(ok, axis=-1)
 

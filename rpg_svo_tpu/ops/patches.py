@@ -77,14 +77,18 @@ def empty_tiles(n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def sample_tiles(tiles: jnp.ndarray, xy0: jnp.ndarray,
-                 coords_lvl: jnp.ndarray
+                 coords_lvl: jnp.ndarray,
+                 bicubic: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Bilinear-sample tiles (N, T*T) flat (or (N, T, T)) at level coords
-    (N, P, 2).
+    """Sample tiles (N, T*T) flat (or (N, T, T)) at level coords (N, P, 2)
+    with bilinear (default) or 4-tap Catmull-Rom (bicubic=True) weights.
 
-    Gather-free: separable one-hot bilinear weights contracted on the MXU.
+    Gather-free: separable one-hot weights contracted on the MXU.
     Returns (vals (N, P), ok (N, P)); samples outside the tile (or items
-    with xy0 < 0, i.e. no tile) are invalid.
+    with xy0 < 0, i.e. no tile) are invalid.  Bicubic needs one more
+    pixel of support on each side (ok shrinks accordingly); it removes
+    the subpixel-phase localization bias of bilinear resampling (see
+    ops/feature_align.BICUBIC).
     """
     if tiles.ndim == 2:
         side = int(round(tiles.shape[-1] ** 0.5))
@@ -97,16 +101,36 @@ def sample_tiles(tiles: jnp.ndarray, xy0: jnp.ndarray,
     y0 = jnp.floor(y)
     wx = x - x0
     wy = y - y0
-    ok = (x0 >= 0) & (y0 >= 0) & (x0 < T - 1) & (y0 < T - 1) \
-        & (xy0[:, None, 0] >= 0)
-    xi = jnp.clip(x0.astype(jnp.int32), 0, T - 2)
-    yi = jnp.clip(y0.astype(jnp.int32), 0, T - 2)
     t = jnp.arange(T, dtype=jnp.int32)
-    # (N, P, T) two-tap bilinear selection, separable in x and y
-    Wx = (t == xi[..., None]) * (1.0 - wx[..., None]) \
-        + (t == xi[..., None] + 1) * wx[..., None]
-    Wy = (t == yi[..., None]) * (1.0 - wy[..., None]) \
-        + (t == yi[..., None] + 1) * wy[..., None]
+    if bicubic:
+        ok = (x0 >= 1) & (y0 >= 1) & (x0 < T - 2) & (y0 < T - 2) \
+            & (xy0[:, None, 0] >= 0)
+        xi = jnp.clip(x0.astype(jnp.int32), 1, T - 3)
+        yi = jnp.clip(y0.astype(jnp.int32), 1, T - 3)
+
+        def W(ti, w):
+            w2 = w * w
+            w3 = w2 * w
+            ws = [(-0.5 * w3 + w2 - 0.5 * w),
+                  (1.5 * w3 - 2.5 * w2 + 1.0),
+                  (-1.5 * w3 + 2.0 * w2 + 0.5 * w),
+                  (0.5 * w3 - 0.5 * w2)]
+            out = 0.0
+            for k, wk in enumerate(ws):
+                out = out + (t == ti[..., None] + (k - 1)) * wk[..., None]
+            return out
+        Wx = W(xi, wx)
+        Wy = W(yi, wy)
+    else:
+        ok = (x0 >= 0) & (y0 >= 0) & (x0 < T - 1) & (y0 < T - 1) \
+            & (xy0[:, None, 0] >= 0)
+        xi = jnp.clip(x0.astype(jnp.int32), 0, T - 2)
+        yi = jnp.clip(y0.astype(jnp.int32), 0, T - 2)
+        # (N, P, T) two-tap bilinear selection, separable in x and y
+        Wx = (t == xi[..., None]) * (1.0 - wx[..., None]) \
+            + (t == xi[..., None] + 1) * wx[..., None]
+        Wy = (t == yi[..., None]) * (1.0 - wy[..., None]) \
+            + (t == yi[..., None] + 1) * wy[..., None]
     tw = jnp.einsum("nyx,npx->nyp", tiles, Wx)       # (N, T, P)
     vals = jnp.einsum("nyp,npy->np", tw, Wy)
     return jnp.where(ok, vals, 0.0), ok

@@ -267,9 +267,10 @@ class SyntheticDataset:
 
     def __init__(self, n_frames: int = 60, seed: int = 0,
                  trajectory: str = "circle",
-                 shape: Tuple[int, int] = (480, 752), **traj_kw):
+                 shape: Tuple[int, int] = (480, 752),
+                 tex: Texture | None = None, **traj_kw):
         self.cam = reference_test_camera(shape[1], shape[0])
-        self.tex = Texture.make(seed=seed)
+        self.tex = tex if tex is not None else Texture.make(seed=seed)
         self.shape = shape
         if trajectory == "circle":
             self.poses = circle_trajectory(n_frames, **traj_kw)

@@ -78,3 +78,78 @@ def test_camera_traces_through_jit():
     px = jnp.array([[100.0, 200.0]])
     out = go(CAM_DIST, px)
     np.testing.assert_allclose(np.asarray(out), np.asarray(px), atol=1e-2)
+
+
+def _make_omni():
+    """Synthetic but self-consistent ocam calibration: forward poly
+    chosen analytically, inverse poly fit numerically (like the ocam
+    toolbox does)."""
+    from rpg_svo_tpu.geometry.cameras import OmniCamera
+    poly = np.array([-200.0, 0.0, 1e-3, 0.0, 0.0])
+    rho = np.linspace(1e-3, 420.0, 2000)
+    z_m = poly[0] + poly[2] * rho ** 2
+    theta = np.arctan2(z_m, rho)
+    inv = np.polynomial.polynomial.polyfit(theta, rho, 9)
+    return OmniCamera.make(752, 480, poly, inv, 376.0, 240.0,
+                           c=1.0, d=0.0, e=0.0), poly
+
+
+def test_omni_center_ray_and_roundtrip():
+    cam, poly = _make_omni()
+    # principal point back-projects to the optical axis (z forward)
+    f0 = np.asarray(cam.cam2world(jnp.array([376.0, 240.0])))
+    np.testing.assert_allclose(f0, [0.0, 0.0, 1.0], atol=1e-6)
+    # and the axis projects back to the center
+    px0 = np.asarray(cam.world2cam(jnp.array([0.0, 0.0, 3.0])))
+    np.testing.assert_allclose(px0, [376.0, 240.0], atol=0.05)
+    # round trip over the image (keep a boundary so rho stays in the
+    # fitted range)
+    ys, xs = np.mgrid[20:460:40, 20:732:60]
+    px = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    f = cam.cam2world(px)
+    assert float(jnp.min(f[:, 2])) > 0.0          # all forward
+    back = np.asarray(cam.world2cam(f * 2.5))
+    err = np.abs(back - np.asarray(px)).max()
+    assert err < 0.1, f"roundtrip error {err} px"   # invpoly fit error
+    # fx equivalent is positive and plausible (d rho / d theta scale)
+    assert float(cam.fx) > 50.0
+
+
+def test_omni_affine_stretch_and_jit():
+    from rpg_svo_tpu.geometry.cameras import OmniCamera
+    cam, _ = _make_omni()
+    skew = OmniCamera.make(752, 480, np.asarray(cam.poly),
+                           np.asarray(cam.inv_poly), 376.0, 240.0,
+                           c=1.02, d=0.003, e=-0.002)
+
+    @jax.jit
+    def rt(c, px):
+        return c.world2cam(c.cam2world(px) * 4.0)
+    px = jnp.array([[300.0, 150.0], [500.0, 400.0]])
+    np.testing.assert_allclose(np.asarray(rt(skew, px)), np.asarray(px),
+                               atol=0.1)
+
+
+def test_omni_yaml_and_ocam_calib_loader(tmp_path):
+    cam, poly = _make_omni()
+    inv = np.asarray(cam.inv_poly)[:10]
+    calib = tmp_path / "calib_results.txt"
+    calib.write_text(
+        "#polynomial coefficients for the DIRECT mapping function\n\n"
+        "5 " + " ".join(f"{v:e}" for v in poly) + "\n\n"
+        "#polynomial coefficients for the inverse mapping function\n\n"
+        "10 " + " ".join(f"{v:e}" for v in inv) + "\n\n"
+        "#center: \"row\" and \"column\", starting from 0 (C convention)\n\n"
+        "240.0 376.0\n\n"
+        "#affine parameters \"c\", \"d\", \"e\"\n\n"
+        "1.0 0.0 0.0\n\n"
+        "#image size: \"height\" and \"width\"\n\n"
+        "480 752\n")
+    yml = tmp_path / "camera_ocam.yaml"
+    yml.write_text("cam_model: Ocam\ncam_calib_file: calib_results.txt\n")
+    from rpg_svo_tpu.io.camera_loader import load_camera_yaml
+    loaded = load_camera_yaml(str(yml))
+    assert float(loaded.width) == 752 and float(loaded.height) == 480
+    px = jnp.array([[200.0, 300.0]])
+    np.testing.assert_allclose(np.asarray(loaded.cam2world(px)),
+                               np.asarray(cam.cam2world(px)), atol=1e-5)

@@ -107,11 +107,15 @@ def test_depth_filter_convergence_meets_goldens():
     d_gt = np.asarray(depth0)[px[:, 1].astype(int), px[:, 0].astype(int)]
     err = np.abs(d_est - d_gt) * 100
     p50, p80, p95 = np.percentile(err, [50, 80, 95])
-    # reference goldens: 0.0620 / 0.1245 / 0.2004 cm.  Thresholds at
-    # 1.2x golden (measured 0.070 / 0.146 / 0.234 after the level-aware
-    # tau fix — coarse-level matches now carry 2^level px of assumed
-    # noise instead of the reference's flat 1 px, which had been
-    # converging level>=1 seeds early at 4-5x the depth error).
-    assert p50 < 0.0744, f"p50 {p50:.4f} cm vs golden 0.062"
-    assert p80 < 0.1494, f"p80 {p80:.4f} cm vs golden 0.125"
-    assert p95 < 0.2405, f"p95 {p95:.4f} cm vs golden 0.200"
+    # reference goldens: 0.0620 / 0.1245 / 0.2004 cm.  Measured (r5):
+    # 0.0624 / 0.1297 / 0.2056 — 1.01/1.04/1.03x golden, down from
+    # 1.13-1.17x after the bicubic align window (the r5 root cause:
+    # bilinear resampling's subpixel-phase localization bias set a
+    # ~0.026 px matching-noise floor; at the convergence gate the final
+    # error is exactly actual_px_noise x assumed-posterior-sigma, so the
+    # bias passed straight through — ops/feature_align.BICUBIC).  The
+    # residual 3-4% tail sits in border/oblique seeds (affine-warp
+    # model, shared with the reference).  Thresholds at 1.05x golden.
+    assert p50 < 0.0651, f"p50 {p50:.4f} cm vs golden 0.062"
+    assert p80 < 0.1307, f"p80 {p80:.4f} cm vs golden 0.125"
+    assert p95 < 0.2104, f"p95 {p95:.4f} cm vs golden 0.200"
