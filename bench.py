@@ -149,6 +149,86 @@ def run_preset(preset: str, ds, imgs, first, n_frames: int, chunk: int,
     return fps, n_timed, pos, n_warm
 
 
+def run_bootstrap(preset: str, ds, imgs, n_frames: int, chunk: int):
+    """Self-bootstrapped mode (VERDICT r4 #5; --bootstrap): frames go
+    through the on-chip KLT+homography two-view init
+    (core/initialization.py — the first thing a real dataset hits, and
+    a fresh compile/layout/fault surface on this backend), then the
+    fused scan tracks the rest.  The bootstrap's map scale is its own
+    (Config.map_scale normalization), so accuracy is Sim3-aligned ATE
+    (analysis/ate.py) instead of raw translation error."""
+    from rpg_svo_tpu.core.pipeline import FrameHandler, STAGE_DEFAULT_FRAME
+    from rpg_svo_tpu.core import fused
+    from rpg_svo_tpu.analysis.ate import ate_rmse
+
+    cfg = make_cfg(preset)
+    fh = FrameHandler(ds.cam, cfg)
+    stride = int(os.environ.get("BENCH_BOOT_STRIDE", "5"))
+    t0 = time.perf_counter()
+    fh.add_image(jnp.asarray(ds.frame(0)[0]), 0.0)
+    i = 0
+    i_boot = None
+    # preroll at a stride so the ~0.4 px/frame bench motion reaches the
+    # reference's 50 px disparity gate in bounded wall time; the KLT
+    # tracker re-tracks first->current each attempt (initialization.py)
+    while i + stride < n_frames - 1:
+        i += stride
+        fh.add_image(jnp.asarray(ds.frame(i)[0]), i / 50.0)
+        if fh.stage == STAGE_DEFAULT_FRAME:
+            i_boot = i
+            break
+    if i_boot is None:
+        raise RuntimeError("bootstrap never reached 50px disparity")
+    boot_s = time.perf_counter() - t0
+    print(f"# {preset}-bootstrap: init at frame {i_boot} "
+          f"({boot_s:.1f}s incl. compiles)", file=sys.stderr)
+
+    state = fused.state_from_handler(fh)
+
+    def scan(st, imgs_chunk):
+        return fused.vo_scan_donated(st, imgs_chunk, ds.cam, cfg, fh.ncx,
+                                     fh.ncy, fh.img_shape)
+
+    j0 = i_boot            # imgs[j] = frame j+1
+    T = imgs.shape[0]
+    n_warm = min(chunk, T - j0)
+    t_c = time.perf_counter()
+    state, outs = scan(state, imgs[j0: j0 + n_warm])
+    jax.block_until_ready(outs.t_wc)
+    print(f"# {preset}-bootstrap: compile+warmup "
+          f"{time.perf_counter() - t_c:.1f}s", file=sys.stderr)
+    all_pos = [outs.t_wc]
+    n_timed = 0
+    t0 = time.perf_counter()
+    n_chunks = (T - j0 - n_warm) // chunk
+    for c in range(n_chunks):
+        lo = j0 + n_warm + c * chunk
+        state, outs = scan(state, imgs[lo: lo + chunk])
+        all_pos.append(outs.t_wc)
+        n_timed += chunk
+        if len(all_pos) >= 2:
+            all_pos[-2].block_until_ready()
+    jax.block_until_ready(state.t)
+    dt = time.perf_counter() - t0
+    fps = n_timed / dt if n_timed else 0.0
+
+    est = jnp.concatenate(all_pos)          # frames i_boot+1 .. end
+    import numpy as np
+    gt = np.stack([np.asarray(ds.poses[k].t)
+                   for k in range(i_boot + 1, i_boot + 1 + est.shape[0])])
+    ate = ate_rmse(gt, np.asarray(est), with_scale=True)
+    print(f"# {preset}-bootstrap: frames={n_timed} "
+          f"ate_median={ate['median'] * 1000:.2f}mm "
+          f"ate_rmse={ate['rmse'] * 1000:.2f}mm scale={ate['scale']:.4f}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"tracked_fps_single_chip_bootstrap",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 600.0, 3),
+    }), flush=True)
+
+
 def main():
     # scan-mode chunk: one host->device dispatch per chunk.  The tunneled
     # device pays ~20 ms of round-trip latency per dispatch, so the
@@ -170,6 +250,10 @@ def main():
             first = (img, depth, T)
     imgs = jnp.stack(imgs[1:])
     jax.block_until_ready(imgs)
+
+    if "--bootstrap" in sys.argv or os.environ.get("BENCH_BOOTSTRAP"):
+        run_bootstrap(presets[0], ds, imgs, n_frames, chunk)
+        return
 
     ok_lines = 0
     for pi, preset in enumerate(presets):

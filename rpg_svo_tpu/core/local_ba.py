@@ -57,20 +57,18 @@ def _extract_observations(m: MapState):
         pt.orig_kf, pt.orig_f, pt.orig_level)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter", "core_n_kfs",
-                                             "shard_axis",
-                                             "max_core_points"))
-def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
-                 huber_width_px: jnp.ndarray, reproj_thresh_px: jnp.ndarray,
-                 fx: jnp.ndarray, n_iter: int = 10,
-                 core_n_kfs: int = 3, shard_axis: str = "",
-                 max_core_points: int = 4096) -> MapState:
-    """Run local BA around `new_kf_slot`; returns the updated map."""
+def build_local_ba_problem(m: MapState, new_kf_slot: jnp.ndarray,
+                           core_n_kfs: int = 3,
+                           max_core_points: int = 4096):
+    """Core selection + point compaction + obs extraction of localBA.
+
+    Returns (prob: BAProblem, sel, selok, variable) — shared by
+    run_local_ba and the iteration-count instrumentation
+    (tools; callable outside jit on a concrete MapState)."""
     kf = m.kf
     pt = m.pt
     K = kf.R.shape[0]
     P = pt.pos.shape[0]
-    M = pt.obs_kf.shape[1]
 
     # --- core selection: new KF + closest core_n_kfs active KFs ---------
     new_pos = kf_positions(kf)[new_kf_slot]
@@ -133,6 +131,24 @@ def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
 
     prob = BAProblem(kf.R, kf.t, variable, pt.pos[sel], selok,
                      obs_cam, obs_f, obs_level, obs_mask)
+    return prob, sel, selok, variable
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "core_n_kfs",
+                                             "shard_axis",
+                                             "max_core_points"))
+def run_local_ba(m: MapState, new_kf_slot: jnp.ndarray,
+                 huber_width_px: jnp.ndarray, reproj_thresh_px: jnp.ndarray,
+                 fx: jnp.ndarray, n_iter: int = 10,
+                 core_n_kfs: int = 3, shard_axis: str = "",
+                 max_core_points: int = 4096) -> MapState:
+    """Run local BA around `new_kf_slot`; returns the updated map."""
+    kf = m.kf
+    pt = m.pt
+    P = pt.pos.shape[0]
+    M = pt.obs_kf.shape[1]
+    prob, sel, selok, variable = build_local_ba_problem(
+        m, new_kf_slot, core_n_kfs, max_core_points)
     if shard_axis:
         # mesh mode: shard the point blocks of the Schur solve (the P-dim
         # einsums of ba/schur.py) over the seed/point-parallel axis; the

@@ -154,6 +154,6 @@ print("--- per source line (ms/frame, top 40) ---")
 for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:40]:
     print(f"{v/NPROF:8.4f}  {k}")
 import json                                   # noqa: E402
-with open("/tmp/svo_fused_stages.json", "w") as f:
+with open(f"/tmp/svo_fused_stages_{PRESET}.json", "w") as f:
     json.dump({k: v / NPROF for k, v in by_stage.items()}, f, indent=1)
-print("stage ms/frame written to /tmp/svo_fused_stages.json")
+print(f"stage ms/frame written to /tmp/svo_fused_stages_{PRESET}.json")
