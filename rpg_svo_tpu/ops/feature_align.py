@@ -36,10 +36,20 @@ CONV_EPS = 0.03 * 0.03
 # the reference's bilinear.  Bilinear resampling carries a subpixel-
 # phase-dependent localization bias that sets the matching-noise floor
 # (measured ~0.026 px on the flat depth-filter protocol); the cubic
-# kernel's flat phase response removes most of it.  Same dense selection-
-# matmul cost (4 nonzeros per row instead of 2 in the same (PATCH, TILE)
-# matrices).  Trace-time constant.
-BICUBIC = True
+# kernel's flat phase response removes most of it.  The selection
+# contraction cost is identical (4 nonzeros per row instead of 2 in the
+# same (PATCH, TILE) matrices), but the tap/weight CONSTRUCTION is ~2x
+# the elementwise ops — measured ~0.05 ms/frame on the accurate-preset
+# bench (441.6 -> 432.9 fps) for ~12% better depth-filter golden tails
+# and 1.94 -> 1.90 mm trajectory accuracy.  BICUBIC_LAST < n_iter runs
+# bilinear for the early iterations and cubic only for the last few
+# (the fixed point is a property of the interpolant used at
+# convergence); measured roughly half the cost at marginally worse
+# tails — kept available as a knob, default all-cubic.
+# Trace-time constants (env hooks for measurement/bisect only).
+import os as _os
+BICUBIC = _os.environ.get("SVO_BICUBIC", "1") != "0"
+BICUBIC_LAST = int(_os.environ.get("SVO_BICUBIC_LAST", "10"))
 # Slack of the per-feature intensity tile around the initial position.
 # The tile is gathered ONCE (TILE^2 scattered gathers, ~ the cost of a
 # single bilinear iteration); every GN iteration then samples the moving
@@ -217,11 +227,12 @@ def align_features(cur_img,
     base, tile, tok = _gather_tile(cur_img, level, px_init)
     okf = tok.astype(jnp.float32)
 
-    def body(_, state):
+    def body(it, state):
         uvm, conv = state                              # (N, 3), (N,)
         o = uvm[:, :2] - HALFPATCH - base
+        cubic = BICUBIC and it >= n_iter - BICUBIC_LAST
         cur, in_img = _window(tile, okf, o, full_ok,
-                              bicubic=BICUBIC)         # (N, 64), (N,)
+                              bicubic=cubic)           # (N, 64), (N,)
         res = cur - ref + uvm[:, 2:3]                  # (N, 64)
         # 2-D update
         Jres2 = jnp.sum(res[:, :, None] * J2, axis=1)

@@ -96,7 +96,11 @@ from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E402
 # path gets per-stage device timings (frame_handler_base.cpp:46-74).
 STAGES = [
     ("ops/pyramid", "pyramid_creation"),
+    ("ops/pallas_align", "sparse_img_align"),
     ("ops/sparse_align", "sparse_img_align"),
+    ("core/fused.py:305", "depth_filter"),   # df cond call site (r5)
+    ("geometry/", "geometry_chains"),
+    ("core/fused", "fused_glue"),
     ("core/reprojector", "reproject"),
     ("ops/feature_align", "feature_align"),
     ("ops/matcher", "reproject"),
