@@ -160,26 +160,25 @@ def match_cells(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
     ref_feat = take(obs_feat)
     kf_safe = jnp.clip(ref_kf, 0, kf_pos.shape[0] - 1)
     ft_safe = jnp.clip(ref_feat, 0, m.kf.feat_px.shape[1] - 1)
-    # flatten every (kf, feat) pair lookup to ONE linear row index:
-    # 2-axis gathers are the measured ~20x-slower TPU class (CLAUDE.md).
-    # NOTE: the feature tables' per-KF capacity (C cells) differs from
-    # the tile pool's (padded to a multiple of 8) — index each with its
-    # own column count.
+    # NOTE on gather form: these five lookups read only A(~512) rows, so
+    # the flat-row trick (reshape to (K*F, .)) LOSES here — the non-
+    # multiple-of-8 C-column tables pay a full relayout copy (measured
+    # 0.013 -> 0.059 ms on feat_px) that dwarfs the 2-axis gather cost
+    # at this row count.  local_ba's extraction (70k rows) is where the
+    # flat form wins.  Keep 2-axis gathers for the small lookups.
     Kk, Ff = m.kf.feat_tile.shape[:2]
-    Fp = m.kf.feat_px.shape[1]
-    row_p = kf_safe * Fp + ft_safe
-    rows = lambda a: a.reshape((Kk * Fp,) + a.shape[2:])[row_p]
     ref_px = jnp.where(use_orig[:, None], pt.orig_px[sel_pt],
-                       rows(m.kf.feat_px))
+                       m.kf.feat_px[kf_safe, ft_safe])
     ref_f = jnp.where(use_orig[:, None], pt.orig_f[sel_pt],
-                      rows(m.kf.feat_f))
+                      m.kf.feat_f[kf_safe, ft_safe])
     ref_level = jnp.where(use_orig, pt.orig_level[sel_pt],
-                          rows(m.kf.feat_level))
+                          m.kf.feat_level[kf_safe, ft_safe])
     ref_type = jnp.where(use_orig, pt.orig_type[sel_pt],
-                         rows(m.kf.feat_type))
+                         m.kf.feat_type[kf_safe, ft_safe])
     ref_grad = jnp.where(use_orig[:, None], pt.orig_grad[sel_pt],
-                         rows(m.kf.feat_grad))
-    # creation-time tiles of the chosen observation (no pyramid reads)
+                         m.kf.feat_grad[kf_safe, ft_safe])
+    # creation-time tiles of the chosen observation (no pyramid reads);
+    # the tile pool's F axis IS padded to a multiple of 8 — flat rows
     row = kf_safe * Ff + ft_safe
     kf_tile_rows = m.kf.feat_tile.reshape(Kk * Ff, *m.kf.feat_tile.shape[2:])
     kf_xy0_rows = m.kf.feat_tile_xy0.reshape(Kk * Ff, 2)

@@ -42,9 +42,19 @@ class PinholeCamera(NamedTuple):
     def make(width, height, fx, fy, cx, cy,
              k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0) -> "PinholeCamera":
         f = lambda v: jnp.asarray(v, dtype=jnp.float32)
-        return PinholeCamera(f(fx), f(fy), f(cx), f(cy),
-                             f(k1), f(k2), f(p1), f(p2), f(k3),
-                             f(width), f(height))
+        # STATIC distortion dispatch: with all-zero coefficients the
+        # 10-pass unrolled _undistort is pure wasted VPU work on every
+        # cam2world call (measured ~0.05 ms/frame of the accurate fused
+        # step).  The camera TYPE is part of the jit pytree structure,
+        # so returning the ideal subclass compiles the identity path.
+        try:
+            ideal = all(float(v) == 0.0 for v in (k1, k2, p1, p2, k3))
+        except TypeError:          # traced coeffs: keep the full model
+            ideal = False
+        cls = PinholeCameraIdeal if ideal else PinholeCamera
+        return cls(f(fx), f(fy), f(cx), f(cy),
+                   f(k1), f(k2), f(p1), f(p2), f(k3),
+                   f(width), f(height))
 
     @property
     def has_distortion(self) -> bool:
@@ -111,6 +121,25 @@ class PinholeCamera(NamedTuple):
     def error_multiplier2(self) -> jnp.ndarray:
         """Focal length for converting unit-plane errors to px (ref vikit)."""
         return self.fx
+
+
+class PinholeCameraIdeal(PinholeCamera):
+    """Distortion-free pinhole: _distort/_undistort are identities.
+
+    Produced by PinholeCamera.make when every coefficient is statically
+    zero (the test camera, the synthetic datasets); keeps the exact
+    same pytree fields so it drops into every call site, but the jit
+    dispatch on the camera type compiles away the distortion math."""
+
+    @property
+    def has_distortion(self) -> bool:
+        return False
+
+    def _distort(self, xu: jnp.ndarray) -> jnp.ndarray:
+        return xu
+
+    def _undistort(self, xd: jnp.ndarray) -> jnp.ndarray:
+        return xd
 
 
 class ATANCamera(NamedTuple):
