@@ -24,13 +24,16 @@ GATHER_NS = 9e-9
 SCAN_NS = 7e-9
 HBM_BS = 8.2e11
 MXU_F32 = 2.0e13
+VPU_FS = 4.0e12          # effective VPU f32 FLOP/s with fusion overhead
+PALLAS_TILE_NS = 0.7e-9  # aligned tile loads: ~0.4 us / 640 (24,128)
+DISPATCH_S = 2.5e-6      # measured inter-kernel dispatch gap class
 
 
 def floors(preset: str):
     """{stage: (floor_ms, formula_str)} from the preset's config."""
     from rpg_svo_tpu.config import fast_preset, accurate_preset
     if preset == "accurate":
-        cfg = accurate_preset(epi_long_k=128, grid_size=20,
+        cfg = accurate_preset(epi_long_k=128, grid_size=25,
                               df_update_k=256, epi_max_steps=32,
                               epi_short_steps=8, epi_scan_rows=4)
     else:
@@ -45,24 +48,29 @@ def floors(preset: str):
     out["pyramid_creation"] = (pyr_bytes / HBM_BS * 1e3,
                                f"{pyr_bytes / 1e6:.1f} MB HBM stream")
 
-    # sparse alignment: Pallas whole-level kernel; floor = streaming the
-    # klt levels into VMEM once per level pass (3 levels, 2 images)
+    # sparse alignment: Pallas whole-level kernel — floor = level loads
+    # into VMEM + the GN iteration FLOPs (N patches x 16 px x ~10 ops x
+    # iters per level) on the VPU
     al_bytes = sum((H >> l) * (W >> l) * 4 * 2
                    for l in range(cfg.klt_min_level,
                                   cfg.klt_max_level + 1))
-    out["sparse_img_align"] = (al_bytes / HBM_BS * 1e3,
-                               f"{al_bytes / 1e6:.2f} MB level loads")
+    n_lv = cfg.klt_max_level - cfg.klt_min_level + 1
+    gn_flops = cfg.max_fts * 16 * 60 * 10 * n_lv
+    out["sparse_img_align"] = (
+        al_bytes / HBM_BS * 1e3 + gn_flops / VPU_FS * 1e3,
+        f"{al_bytes / 1e6:.2f} MB level loads + GN VPU flops")
 
     # depth filter: strip-scan samples + K-domain tile/logic gathers
     K = cfg.df_update_k
     samples = (K * (cfg.epi_short_steps + PATCH) * cfg.epi_scan_rows
                + cfg.epi_long_k * (cfg.epi_max_steps + PATCH)
                * cfg.epi_scan_rows)
-    tile_g = K * 17 * 17            # align tile per matched seed
-    df_floor = (samples * SCAN_NS + tile_g * GATHER_NS) * 1e3
+    every = max(cfg.df_update_every, 1)
+    df_floor = samples * SCAN_NS * 1e3 / every
     out["depth_filter"] = (
         df_floor,
-        f"{samples} scan samples x 7ns + {tile_g} align-tile gathers")
+        f"{samples} strip-scan samples x 7 ns / every-{every} cadence"
+        " (align tiles ride the Pallas aligned loader, ~0)")
 
     # reprojection: per-cell candidate tile loads (Pallas aligned: ~0.4
     # us/640 tiles => treat as gather at 24x128 aligned-load cost) +
@@ -70,23 +78,29 @@ def floors(preset: str):
     ncx, ncy = -(-W // cfg.grid_size), -(-H // cfg.grid_size)
     C = ncx * ncy
     F = min(-(-C // 8) * 8, -(-cfg.max_fts // 128) * 128)
-    rep_tiles = C * 24 * 128 / 128      # aligned rows (sublane-wide)
-    rep_floor = (rep_tiles * GATHER_NS + F * 17 * 17 * GATHER_NS) * 1e3
+    P = cfg.max_points
+    A = min(C, -(-max(2 * cfg.max_fts, 256) // 8) * 8)
+    # dominated by the P-domain per-cell segment_max scatter (9 ns/elt);
+    # warp/align tile loads ride the Pallas aligned loader
+    rep_floor = (P * GATHER_NS + A * 24 * PALLAS_TILE_NS * 24) * 1e3
     out["reproject"] = (
-        rep_floor, f"{C} cell tiles (aligned rows) + {F} align tiles")
-    out["feature_align"] = (F * 17 * 17 * GATHER_NS * 1e3,
-                            f"{F} window tiles x 17^2")
+        rep_floor,
+        f"{P}-elt cell segment-max scatter + {A} Pallas warp tiles")
+    # feature-align work mostly lands in the reproject/df attributions
+    # (cond call sites); no separate floor to avoid double counting
 
     # pose/point opt: tiny-system GN chains — dispatch-bound; floor =
     # kernel-count x ~2.5 us dispatch (measured inter-kernel gap class)
-    out["pose_optimizer"] = (0.02, "~8 fused kernels x 2.5 us")
-    out["point_optimizer"] = (0.02, "~8 fused kernels x 2.5 us")
+    out["pose_optimizer"] = (3 * DISPATCH_S * 1e3,
+                             "~3 irreducible kernel dispatches")
+    out["point_optimizer"] = (3 * DISPATCH_S * 1e3,
+                              "~3 irreducible kernel dispatches")
 
     # local BA (accurate only): MXU contractions per GN iteration
     if cfg.loba_num_iter:
-        P, M, Kc = 4096, cfg.max_obs_per_point + 1, cfg.max_kfs_pool
-        per_iter = (P * M * Kc * 12 * 2) * 6      # _cam_rows f32 HIGHEST
-        per_iter += (128 * 3 * P * 128 * 2)       # S128 matmul (padded)
+        Pb, M, Kc = 4096, cfg.max_obs_per_point + 1, cfg.max_kfs_pool
+        per_iter = (Pb * M * Kc * 12 * 2) * 6     # _cam_rows f32 HIGHEST
+        per_iter += (128 * 3 * Pb * 128 * 2)      # S128 matmul (padded)
         n_it = 5                                   # measured plateau exit
         ba_ms = per_iter * n_it / MXU_F32 * 1e3
         kf_every = 7                               # bench-scene KF cadence
