@@ -75,6 +75,40 @@ def make_cfg(preset: str):
     return fast_preset(**kw)
 
 
+def timed_chunked_scan(scan, state, imgs, lo: int, chunk: int, tag: str):
+    """The bench timing protocol, shared by run_preset and
+    run_bootstrap: one warmup chunk (compile/cache-load, logged), then
+    full chunks with 2 dispatches in flight (the ~20 ms tunnel
+    round-trip of chunk c+1 overlaps chunk c's compute), one final
+    sync before reading the clock.
+
+    Returns (state, warm_pos, timed_pos, fps, n_timed, n_warm)."""
+    T = imgs.shape[0]
+    n_warm = min(chunk, T - lo)
+    t_c = time.perf_counter()
+    state, outs = scan(state, imgs[lo: lo + n_warm])
+    jax.block_until_ready(outs.t_wc)
+    print(f"# {tag}: compile+warmup {time.perf_counter() - t_c:.1f}s",
+          file=sys.stderr)
+    warm_pos = outs.t_wc
+    n_chunks = (T - lo - n_warm) // chunk
+    t0 = time.perf_counter()
+    all_pos = []
+    n_timed = 0
+    for c in range(n_chunks):
+        s = lo + n_warm + c * chunk
+        state, outs = scan(state, imgs[s: s + chunk])
+        all_pos.append(outs.t_wc)
+        n_timed += chunk
+        if len(all_pos) >= 2:
+            all_pos[-2].block_until_ready()
+    jax.block_until_ready(state.t)
+    dt = time.perf_counter() - t0
+    fps = n_timed / dt if n_timed else 0.0
+    pos = jnp.concatenate(all_pos) if all_pos else jnp.zeros((0, 3))
+    return state, warm_pos, pos, fps, n_timed, n_warm
+
+
 def run_preset(preset: str, ds, imgs, first, n_frames: int, chunk: int,
                mode: str):
     """Track the sequence under `preset`; returns (fps, n_timed, pos,
@@ -100,32 +134,12 @@ def run_preset(preset: str, ds, imgs, first, n_frames: int, chunk: int,
     T = imgs.shape[0]
     n_warm = min(chunk, T - 1)
     if mode == "scan":
-        # compile-time guard: the warmup call compiles (or cache-loads)
-        # the program; log it so compile-time regressions are visible in
-        # every bench record (fresh two-tier compiles have ranged 2-25
-        # minutes on this backend — a bad op pattern shows up here first)
-        t_c = time.perf_counter()
-        state, outs = scan(state, imgs[:n_warm])
-        jax.block_until_ready(outs.t_wc)
-        print(f"# {preset}: compile+warmup "
-              f"{time.perf_counter() - t_c:.1f}s", file=sys.stderr)
-        n_chunks = (T - n_warm) // chunk
-        t0 = time.perf_counter()
-        all_pos = []
-        n_timed = 0
-        # keep 2 chunk dispatches in flight: the ~20 ms host->device
-        # round trip of chunk c+1's dispatch overlaps chunk c's compute
-        # (bounded queue depth so the remote worker stays healthy)
-        for c in range(n_chunks):
-            lo = n_warm + c * chunk
-            state, outs = scan(state, imgs[lo: lo + chunk])
-            all_pos.append(outs.t_wc)
-            n_timed += chunk
-            if len(all_pos) >= 2:
-                all_pos[-2].block_until_ready()
-        jax.block_until_ready(state.t)
-        dt = time.perf_counter() - t0
-        pos = jnp.concatenate(all_pos) if all_pos else jnp.zeros((0, 3))
+        # warmup chunk = the compile-time guard: fresh two-tier compiles
+        # have ranged 2-25 minutes on this backend, a bad op pattern
+        # shows up in the logged warmup time first
+        state, _, pos, fps, n_timed, n_warm = timed_chunked_scan(
+            scan, state, imgs, 0, chunk, preset)
+        return fps, n_timed, pos, n_warm
     else:
         for i in range(n_warm):
             state, out = step(state, imgs[i])
@@ -190,29 +204,11 @@ def run_bootstrap(preset: str, ds, imgs, n_frames: int, chunk: int):
                                      fh.ncy, fh.img_shape)
 
     j0 = i_boot            # imgs[j] = frame j+1
-    T = imgs.shape[0]
-    n_warm = min(chunk, T - j0)
-    t_c = time.perf_counter()
-    state, outs = scan(state, imgs[j0: j0 + n_warm])
-    jax.block_until_ready(outs.t_wc)
-    print(f"# {preset}-bootstrap: compile+warmup "
-          f"{time.perf_counter() - t_c:.1f}s", file=sys.stderr)
-    all_pos = [outs.t_wc]
-    n_timed = 0
-    t0 = time.perf_counter()
-    n_chunks = (T - j0 - n_warm) // chunk
-    for c in range(n_chunks):
-        lo = j0 + n_warm + c * chunk
-        state, outs = scan(state, imgs[lo: lo + chunk])
-        all_pos.append(outs.t_wc)
-        n_timed += chunk
-        if len(all_pos) >= 2:
-            all_pos[-2].block_until_ready()
-    jax.block_until_ready(state.t)
-    dt = time.perf_counter() - t0
-    fps = n_timed / dt if n_timed else 0.0
-
-    est = jnp.concatenate(all_pos)          # frames i_boot+1 .. end
+    state, warm_pos, pos, fps, n_timed, _ = timed_chunked_scan(
+        scan, state, imgs, j0, chunk, f"{preset}-bootstrap")
+    # ATE over warm + timed frames (accuracy covers the whole tracked
+    # stretch; only the timed chunks define fps)
+    est = jnp.concatenate([warm_pos, pos])  # frames i_boot+1 .. end
     import numpy as np
     gt = np.stack([np.asarray(ds.poses[k].t)
                    for k in range(i_boot + 1, i_boot + 1 + est.shape[0])])

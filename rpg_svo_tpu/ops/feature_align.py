@@ -117,14 +117,12 @@ def _select_mats(o, need_support: bool = True, bicubic: bool = False):
     jT = jnp.arange(TILE, dtype=jnp.int32)[None, None, :]
 
     if bicubic:
+        from rpg_svo_tpu.ops.patches import catmull_rom_weights
+
         def sel(oid, t):
-            t2 = t * t
-            t3 = t2 * t
-            ws = [(-0.5 * t3 + t2 - 0.5 * t), (1.5 * t3 - 2.5 * t2 + 1.0),
-                  (-1.5 * t3 + 2.0 * t2 + 0.5 * t), (0.5 * t3 - 0.5 * t2)]
             m = 0.0
             sup = 0.0
-            for k, wk in enumerate(ws):
+            for k, wk in enumerate(catmull_rom_weights(t)):
                 tap = (jT == i8 + oid[:, None, None] + (k - 1))
                 m = m + tap.astype(jnp.float32) * wk[:, None, None]
                 if need_support:
@@ -253,11 +251,14 @@ def align_features(cur_img,
         # the reference's 0.03px test, while the position refines to the
         # GN fixed point.  Measured on the flat depth-filter protocol:
         # per-measurement matching noise 0.026 -> 0.019 px equivalent.
+        # Out-of-window items simply freeze (act=False) and can never
+        # SET conv; an item that converged in bounds and then polished
+        # to the window edge keeps its success flag and its last valid
+        # position (revoking conv here dropped correctly-localized
+        # matches when the bilinear->cubic switch shrank the window).
         act = valid & in_img
         uvm = jnp.where(act[:, None], uvm - upd, uvm)
         conv = conv | (act & (step2 < CONV_EPS))
-        # items that fell outside the tile/image never converge
-        conv = conv & in_img
         return uvm, conv
 
     uvm0 = jnp.concatenate([px_init, jnp.zeros_like(px_init[:, :1])], -1)

@@ -76,6 +76,20 @@ def empty_tiles(n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
             jnp.full((n, 2), -1, jnp.int32))
 
 
+def catmull_rom_weights(t):
+    """4-tap Catmull-Rom kernel weights at fractional offset t (any
+    shape) for taps at offsets (-1, 0, +1, +2).  Shared by the tile
+    sampler here and the align window selection matrices
+    (ops/feature_align._select_mats) — keep the two interpolants
+    identical."""
+    t2 = t * t
+    t3 = t2 * t
+    return ((-0.5 * t3 + t2 - 0.5 * t),
+            (1.5 * t3 - 2.5 * t2 + 1.0),
+            (-1.5 * t3 + 2.0 * t2 + 0.5 * t),
+            (0.5 * t3 - 0.5 * t2))
+
+
 def sample_tiles(tiles: jnp.ndarray, xy0: jnp.ndarray,
                  coords_lvl: jnp.ndarray,
                  bicubic: bool = False
@@ -109,14 +123,8 @@ def sample_tiles(tiles: jnp.ndarray, xy0: jnp.ndarray,
         yi = jnp.clip(y0.astype(jnp.int32), 1, T - 3)
 
         def W(ti, w):
-            w2 = w * w
-            w3 = w2 * w
-            ws = [(-0.5 * w3 + w2 - 0.5 * w),
-                  (1.5 * w3 - 2.5 * w2 + 1.0),
-                  (-1.5 * w3 + 2.0 * w2 + 0.5 * w),
-                  (0.5 * w3 - 0.5 * w2)]
             out = 0.0
-            for k, wk in enumerate(ws):
+            for k, wk in enumerate(catmull_rom_weights(w)):
                 out = out + (t == ti[..., None] + (k - 1)) * wk[..., None]
             return out
         Wx = W(xi, wx)

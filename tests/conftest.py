@@ -26,3 +26,22 @@ assert jax.devices()[0].platform == "cpu", (
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running protocol test (several minutes)")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles hundreds of CPU programs in one process;
+    with every executable kept alive, the XLA CPU compiler started
+    segfaulting deterministically on the LAST big compile of the run
+    (tests/test_sparse_align.py robust-align program — reproduced twice
+    at the same position, while either half of the suite alone passes).
+    Per-module cache clearing bounds live-executable accumulation;
+    cross-module jit reuse is minimal so the recompile cost is noise.
+    """
+    yield
+    jax.clear_caches()

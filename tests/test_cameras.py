@@ -111,8 +111,15 @@ def test_omni_center_ray_and_roundtrip():
     back = np.asarray(cam.world2cam(f * 2.5))
     err = np.abs(back - np.asarray(px)).max()
     assert err < 0.1, f"roundtrip error {err} px"   # invpoly fit error
-    # fx equivalent is positive and plausible (d rho / d theta scale)
-    assert float(cam.fx) > 50.0
+    # fx equivalent must match the EMPIRICAL px-per-unit-plane scale at
+    # the optical axis (finite difference of world2cam), not the raw
+    # first-order inv_poly coefficient (~2.5x off on this calibration)
+    eps = 1e-4
+    p0 = np.asarray(cam.world2cam(jnp.array([0.0, 0.0, 1.0])))
+    p1 = np.asarray(cam.world2cam(jnp.array([eps, 0.0, 1.0])))
+    fx_emp = abs(p1[0] - p0[0]) / eps
+    assert abs(float(cam.fx) - fx_emp) < 0.05 * fx_emp, \
+        (float(cam.fx), fx_emp)
 
 
 def test_omni_affine_stretch_and_jit():

@@ -22,7 +22,7 @@ def run(step, amp, n_frames=20, conv_thresh=200.0, level0=False):
     pyr0 = build_pyramid(img0, 5)
     fp0 = FlatPyramid(pyr0)
     m = init_map(n_kfs=8, n_feats=512, n_points=4096, n_obs=8,
-                 n_seeds=2048, flat_len=fp0.flat.shape[0])
+                 n_seeds=2048, pyr_shape=(1, fp0.flat.shape[0]))
     F = m.kf.feat_px.shape[1]
     m, slot = add_keyframe(
         m, fp0.flat, T0.inverse(), jnp.int32(0),

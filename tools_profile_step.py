@@ -94,11 +94,18 @@ from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E402
 # skipped — they cover their bodies and would double-count).  The source
 # file maps onto the reference's SVO_TRACE stage names so the fused
 # path gets per-stage device timings (frame_handler_base.cpp:46-74).
+# the whole df-update cond branch is attributed to its CALL-SITE line
+# (lax.cond gotcha, CLAUDE.md) — find that line by marker so edits to
+# fused.py can't silently shunt the depth-filter time into fused_glue
+import rpg_svo_tpu.core.fused as _fused_mod
+_df_line = next(i + 1 for i, l in enumerate(
+    open(_fused_mod.__file__).read().splitlines())
+    if "upd = jax.lax.cond(" in l)
 STAGES = [
     ("ops/pyramid", "pyramid_creation"),
     ("ops/pallas_align", "sparse_img_align"),
     ("ops/sparse_align", "sparse_img_align"),
-    ("core/fused.py:305", "depth_filter"),   # df cond call site (r5)
+    (f"core/fused.py:{_df_line}", "depth_filter"),  # df cond call site
     ("geometry/", "geometry_chains"),
     ("core/fused", "fused_glue"),
     ("core/reprojector", "reproject"),
