@@ -56,6 +56,10 @@ class Config:
     # --- reprojection / matching ---
     max_fts: int = 120              # per-frame feature budget
     reproj_thresh: float = 2.0      # px; outlier threshold after pose opt
+    # Static cell-attempt budget = max(factor*max_fts, 256) cells (the
+    # reference attempts until maxFts MATCHES, reprojector.cpp:195-201;
+    # 2.0 covers a 50% failure rate, steady-state success is ~90%)
+    reproj_attempt_factor: float = 2.0
     subpix_n_iter: int = 10         # feature-alignment iterations
 
     # --- pose / structure optimization ---

@@ -188,7 +188,8 @@ def _vo_step(state: VOState, img: jnp.ndarray, cam, cfg: Config,
         ptype_before = m.pt.ptype
         pt2, rep = reproject_map(m, flat, T_cur, cam, cfg.grid_size, ncx,
                                  ncy, max_level=cfg.n_pyr_levels - 1,
-                                 cur_pad=pad, max_fts=F)
+                                 cur_pad=pad, max_fts=F,
+                                 attempt_factor=cfg.reproj_attempt_factor)
         m = m._replace(pt=pt2)
         # scrub only when something was actually deleted since the last
         # scrub (this frame's candidate pruning, or a pending KF-frame

@@ -59,12 +59,16 @@ class ReprojectResult(NamedTuple):
     n_trials: jnp.ndarray      # scalar
 
 
-def attempt_budget(C: int, max_fts: int) -> int:
+def attempt_budget(C: int, max_fts: int,
+                   factor: float = 2.0) -> int:
     """Static attempt count A: the reference attempts cells until maxFts
     MATCHES succeed (reprojector.cpp:195-201), so attempts > maxFts when
-    matching is hard.  Statically: best max(2*maxFts, 256) cells."""
+    matching is hard.  Statically: best max(factor*maxFts, 256) cells
+    (factor 2.0 covers a 50% match failure rate; steady-state success
+    is ~90%, so 1.5 is usually enough — a Config knob via
+    reproj_attempt_factor)."""
     if max_fts and max_fts < C:
-        return min(C, -(-max(2 * max_fts, 256) // 8) * 8)
+        return min(C, -(-max(int(factor * max_fts), 256) // 8) * 8)
     return C
 
 
@@ -90,7 +94,7 @@ def candidate_bookkeeping(pt, vis0):
 
 
 def grid_select(px, visible, ptype, grid_size: int, ncx: int, ncy: int,
-                max_fts: int):
+                max_fts: int, attempt_factor: float = 2.0):
     """Per-cell best point by quality + the shuffled attempt budget."""
     P = px.shape[0]
     C = ncx * ncy
@@ -103,7 +107,7 @@ def grid_select(px, visible, ptype, grid_size: int, ncx: int, ncy: int,
     has = best >= 0
     sel_pt = jnp.where(has, best % P, 0)            # (C,) selected point id
 
-    A = attempt_budget(C, max_fts)
+    A = attempt_budget(C, max_fts, attempt_factor)
     if A < C:
         import numpy as _np
         perm = jnp.asarray(_np.random.default_rng(0).permutation(C)
@@ -247,10 +251,12 @@ def match_cells(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
 
 
 @functools.partial(jax.jit, static_argnames=("grid_size", "ncx", "ncy",
-                                             "max_level", "max_fts"))
+                                             "max_level", "max_fts",
+                                             "attempt_factor"))
 def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
                   grid_size: int, ncx: int, ncy: int,
-                  max_level: int = 4, cur_pad=None, max_fts: int = 0):
+                  max_level: int = 4, cur_pad=None, max_fts: int = 0,
+                  attempt_factor: float = 2.0):
     """Returns (PointStore with updated counters/types, ReprojectResult).
 
     max_fts > 0 caps the match attempts at that many cells (the
@@ -263,7 +269,7 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
     px, vis0 = project_points(m.pt, T_cur, cam)
     n_fail, ptype, visible = candidate_bookkeeping(m.pt, vis0)
     has, sel_pt = grid_select(px, visible, ptype, grid_size, ncx, ncy,
-                              max_fts)
+                              max_fts, attempt_factor)
     return match_cells(m, cur_pyr, T_cur, cam, n_fail, ptype, has,
                        sel_pt, max_level, cur_pad, max_fts)
 
@@ -272,7 +278,7 @@ def reproject_map(m: MapState, cur_pyr: FlatPyramid, T_cur: SE3, cam,
 project_points_jit = jax.jit(project_points)
 candidate_bookkeeping_jit = jax.jit(candidate_bookkeeping)
 grid_select_jit = functools.partial(
-    jax.jit, static_argnames=("grid_size", "ncx", "ncy", "max_fts"))(
-        grid_select)
+    jax.jit, static_argnames=("grid_size", "ncx", "ncy", "max_fts",
+                              "attempt_factor"))(grid_select)
 match_cells_jit = functools.partial(
     jax.jit, static_argnames=("max_level", "max_fts"))(match_cells)
