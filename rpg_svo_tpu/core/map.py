@@ -352,27 +352,40 @@ def add_keyframe(m: MapState, flat_pyr: jnp.ndarray, T_f_w: SE3,
     ok = slot >= 0
     s = jnp.where(ok, slot, 0)
 
-    # 5 key points: most central + 4 corner-most valid features
-    u = feat_px[:, 0]
-    v = feat_px[:, 1]
-    # use image center approx from feature cloud median
-    cu = jnp.nanmedian(jnp.where(feat_valid, u, jnp.nan))
-    cv = jnp.nanmedian(jnp.where(feat_valid, v, jnp.nan))
-    du = u - jnp.where(jnp.isnan(cu), 0.0, cu)
-    dv = v - jnp.where(jnp.isnan(cv), 0.0, cv)
-    scores = jnp.stack([
-        -(jnp.abs(du) + jnp.abs(dv)),      # most central
-        jnp.where((du >= 0) & (dv >= 0), du * dv, -jnp.inf),
-        jnp.where((du >= 0) & (dv < 0), -du * dv, -jnp.inf),
-        jnp.where((du < 0) & (dv < 0), du * dv, -jnp.inf),
-        jnp.where((du < 0) & (dv >= 0), -du * dv, -jnp.inf),
-    ])                                       # (5, F)
-    has_depth = feat_valid & jnp.isfinite(feat_depth) & (feat_depth > 0)
-    scores = jnp.where(has_depth[None, :], scores, -jnp.inf)
-    kp_idx = jnp.argmax(scores, axis=1)      # (5,)
-    kp_valid = jnp.isfinite(jnp.max(scores, axis=1))
-    kp_dir = feat_f[kp_idx]
-    kp_depth = feat_depth[kp_idx]
+    # 5 key points: most central + 4 corner-most valid features.
+    # Computed under a cond on `enable`: the nanmedian is a full sort of
+    # the F-slot table and this runs MASKED on every frame of the fused
+    # step — the cond's outputs are 5 rows (tiny), so skipping is free.
+    def _kp5(_):
+        u = feat_px[:, 0]
+        v = feat_px[:, 1]
+        # use image center approx from feature cloud median
+        cu = jnp.nanmedian(jnp.where(feat_valid, u, jnp.nan))
+        cv = jnp.nanmedian(jnp.where(feat_valid, v, jnp.nan))
+        du = u - jnp.where(jnp.isnan(cu), 0.0, cu)
+        dv = v - jnp.where(jnp.isnan(cv), 0.0, cv)
+        scores = jnp.stack([
+            -(jnp.abs(du) + jnp.abs(dv)),      # most central
+            jnp.where((du >= 0) & (dv >= 0), du * dv, -jnp.inf),
+            jnp.where((du >= 0) & (dv < 0), -du * dv, -jnp.inf),
+            jnp.where((du < 0) & (dv < 0), du * dv, -jnp.inf),
+            jnp.where((du < 0) & (dv >= 0), -du * dv, -jnp.inf),
+        ])                                       # (5, F)
+        has_depth = feat_valid & jnp.isfinite(feat_depth) \
+            & (feat_depth > 0)
+        scores = jnp.where(has_depth[None, :], scores, -jnp.inf)
+        kp_idx = jnp.argmax(scores, axis=1)      # (5,)
+        kp_valid = jnp.isfinite(jnp.max(scores, axis=1))
+        return feat_f[kp_idx], feat_depth[kp_idx], kp_valid
+
+    if isinstance(enable, bool):
+        kp_dir, kp_depth, kp_valid = _kp5(None)
+    else:
+        kp_dir, kp_depth, kp_valid = jax.lax.cond(
+            enable, _kp5,
+            lambda _: (jnp.zeros((5, 3), feat_f.dtype),
+                       jnp.zeros((5,), feat_depth.dtype),
+                       jnp.zeros((5,), bool)), None)
 
     # disabled inserts write to the scratch row (last pool row, never
     # active): a plain DUS per field, no old-row gather + select
