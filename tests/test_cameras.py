@@ -160,3 +160,19 @@ def test_omni_yaml_and_ocam_calib_loader(tmp_path):
     px = jnp.array([[200.0, 300.0]])
     np.testing.assert_allclose(np.asarray(loaded.cam2world(px)),
                                np.asarray(cam.cam2world(px)), atol=1e-5)
+
+
+def test_pinhole_ideal_dispatch():
+    """Zero-distortion construction must select the ideal fast path
+    (the 10-pass undistort compiles away); any nonzero coefficient must
+    keep the full model.  The two must agree where distortion is zero."""
+    from rpg_svo_tpu.geometry.cameras import PinholeCameraIdeal
+    c0 = PinholeCamera.make(752, 480, 315.5, 315.5, 376, 240)
+    assert isinstance(c0, PinholeCameraIdeal)
+    cd = PinholeCamera.make(752, 480, 315.5, 315.5, 376, 240, k1=-0.28)
+    assert type(cd) is PinholeCamera
+    # full-model math with zero coeffs == ideal math
+    cfull = PinholeCamera(*c0)          # same fields, base class
+    px = jnp.array([[100.0, 50.0], [700.0, 470.0]])
+    np.testing.assert_allclose(np.asarray(c0.cam2world(px)),
+                               np.asarray(cfull.cam2world(px)), atol=1e-6)
