@@ -58,7 +58,7 @@ def test_bench_epi_tiers_hold_on_second_scene():
 
     # the EXACT bench defaults (bench.py make_cfg, fast preset)
     bench_cfg = fast_preset(grid_size=25, epi_max_steps=32,
-                            epi_short_steps=8, df_update_k=256,
+                            epi_short_steps=8, df_update_k=192,
                             epi_scan_rows=4, epi_long_k=128,
                             reproj_attempt_factor=1.5)
     # untuned control: single-tier scan at the full 128-step cap, full
