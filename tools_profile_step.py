@@ -36,8 +36,10 @@ ds = SyntheticDataset(n_frames=n_frames, trajectory="circle",
 _kw = dict(grid_size=int(os.environ.get("BENCH_GRID", "25")),
            epi_max_steps=int(os.environ.get("BENCH_EPI", "32")),
            epi_short_steps=int(os.environ.get("BENCH_SHORT", "8")),
-           df_update_k=int(os.environ.get("BENCH_K", "256")),
-           epi_scan_rows=int(os.environ.get("BENCH_SCANROWS", "4")))
+           df_update_k=int(os.environ.get("BENCH_K", "192")),
+           epi_scan_rows=int(os.environ.get("BENCH_SCANROWS", "4")),
+           reproj_attempt_factor=float(os.environ.get("BENCH_ATTF",
+                                                      "1.5")))
 if PRESET == "accurate":
     # must mirror bench.py::make_cfg exactly to hit the same cached program
     cfg = accurate_preset(epi_long_k=128, **_kw)

@@ -34,11 +34,13 @@ def floors(preset: str):
     from rpg_svo_tpu.config import fast_preset, accurate_preset
     if preset == "accurate":
         cfg = accurate_preset(epi_long_k=128, grid_size=25,
-                              df_update_k=256, epi_max_steps=32,
-                              epi_short_steps=8, epi_scan_rows=4)
+                              df_update_k=192, epi_max_steps=32,
+                              epi_short_steps=8, epi_scan_rows=4,
+                              reproj_attempt_factor=1.5)
     else:
-        cfg = fast_preset(grid_size=25, df_update_k=256, epi_max_steps=32,
-                          epi_short_steps=8, epi_scan_rows=4)
+        cfg = fast_preset(grid_size=25, df_update_k=192, epi_max_steps=32,
+                          epi_short_steps=8, epi_scan_rows=4,
+                          reproj_attempt_factor=1.5)
     H, W = 480, 752
     PATCH = 8
     out = {}
